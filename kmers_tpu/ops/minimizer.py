@@ -1,0 +1,86 @@
+"""Windowed minimizer selection over kmer streams.
+
+The reference has no built-in minimizer type — its docs show users how to
+build one from ``unsafe_extract``/``unsafe_shift_from``
+(/root/reference/docs/src/replacements.md:15-24, test/benchmark.jl:96-110);
+minimizer-window selection is also BASELINE.json config 3.  This module is
+the batched TPU-native version: for every window of ``W`` consecutive
+kmers, select the kmer with the smallest FxHash (leftmost on ties).
+
+Sequentially this is a deque-based sliding minimum; the data-parallel
+formulation is a doubling ("sparse table") sliding minimum: O(log W)
+rounds of elementwise lexicographic min over shifted arrays, on
+(hash_hi, hash_lo, position) triples so ties resolve to the leftmost
+position deterministically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import u64
+from .hashing import fx_hash_u64
+
+__all__ = ["sliding_min_u64", "minimizers"]
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+def _min_triple(a, b):
+    """Lexicographic min over ((key_hi, key_lo), pos) triples."""
+    (ah, al), ap = a
+    (bh, bl), bp = b
+    a_lt = (ah < bh) | ((ah == bh) & ((al < bl) | ((al == bl) & (ap < bp))))
+    return (
+        (jnp.where(a_lt, ah, bh), jnp.where(a_lt, al, bl)),
+        jnp.where(a_lt, ap, bp),
+    )
+
+
+@partial(jax.jit, static_argnames=("W",))
+def sliding_min_u64(key_hi, key_lo, W: int):
+    """For each of the ``n - W + 1`` windows of ``W`` consecutive u64 keys,
+    the (key, position) of the minimum, leftmost on ties.
+
+    Returns ``(min_hi, min_lo, argmin_pos)``.
+    """
+    n = key_hi.shape[0]
+    if W < 1:
+        raise ValueError("W must be >= 1")
+    m = n - W + 1
+    if m <= 0:
+        z = jnp.zeros(0, _U32)
+        return z, z, jnp.zeros(0, _I32)
+    pos = jnp.arange(n, dtype=_I32)
+    cur = ((key_hi, key_lo), pos)
+    # doubling: after round t, cur[i] = min over [i, i + 2^t)
+    span = 1
+    while span * 2 <= W:
+        shifted = jax.tree_util.tree_map(lambda x: x[span:], cur)
+        head = jax.tree_util.tree_map(lambda x: x[: x.shape[0] - span], cur)
+        cur = _min_triple(head, shifted)
+        span *= 2
+    # combine two overlapping spans of length `span` to cover W
+    off = W - span
+    a = jax.tree_util.tree_map(lambda x: x[:m], cur)
+    b = jax.tree_util.tree_map(lambda x: x[off : off + m], cur)
+    (mh, ml), mp = _min_triple(a, b)
+    return mh, ml, mp
+
+
+@partial(jax.jit, static_argnames=("W",))
+def minimizers(kmer_hi, kmer_lo, W: int):
+    """(W, K)-minimizers of a kmer stream: per window of W consecutive
+    kmers, the (kmer_hi, kmer_lo, position) whose FxHash is smallest.
+
+    Consecutive windows usually share their minimizer; callers dedup
+    positions to obtain the sampled set (``np.unique`` on positions, or
+    compare with the previous element on device).
+    """
+    hh, hl = fx_hash_u64(kmer_hi, kmer_lo)
+    mh, ml, mp = sliding_min_u64(hh, hl, W)
+    return kmer_hi[mp], kmer_lo[mp], mp

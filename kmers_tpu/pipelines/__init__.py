@@ -1,0 +1,8 @@
+"""End-to-end workloads built from the ops plane."""
+
+from .canonical_count import (
+    CountConfig,
+    canonical_count,
+    canonical_count_bytes,
+    counts_to_dict,
+)

@@ -1,0 +1,145 @@
+"""Canonical k-mer counting — the flagship single-chip pipeline.
+
+The end-to-end slice of SURVEY.md §7 M2-M3: ASCII bytes -> branch-free
+classification -> packed words -> fused forward + reverse-complement
+window extraction -> canonical select -> sort-based count, all inside one
+jit region per chunk, with chunked streaming and on-device table merging
+for inputs larger than one dispatch.
+
+Equivalent reference workload: iterating ``CanonicalKmers{DNAAlphabet{2},K}``
+(or ``UnambiguousKmers`` + ``canonical`` when ``skip_ambiguous``) and
+counting into a dict (/root/reference/docs/src/composition.md) — here the
+count table is in-framework and device-resident.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..alphabets import EncodeError, DNAAlphabet2
+from ..ops import u64 as u64ops
+from ..ops.count import SENTINEL, merge_sorted_counts, sort_count
+from ..ops.encode import classify_2bit
+from ..ops.windows import canonical_windows_from_codes, window_valid_mask
+
+__all__ = [
+    "CountConfig",
+    "canonical_count",
+    "canonical_count_bytes",
+    "counts_to_dict",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class CountConfig:
+    """Static pipeline configuration (the analogue of the reference's
+    compile-time type parameters, SURVEY.md §5 "Config / flag system")."""
+
+    K: int = 31
+    #: skip windows containing IUPAC ambiguity codes (UnambiguousKmers
+    #: semantics); if False, ambiguity raises (FwKmers/CanonicalKmers
+    #: semantics).
+    skip_ambiguous: bool = True
+    #: bases per jitted dispatch; inputs longer than this are streamed.
+    chunk_size: int = 1 << 24
+
+    def __post_init__(self):
+        if not 1 <= self.K <= 31:
+            raise ValueError(
+                "array-plane canonical counting supports 1 <= K <= 31"
+            )
+
+
+@partial(jax.jit, static_argnames=("K",))
+def _chunk_canonical(bytes_u8, K: int):
+    """One chunk: bytes -> (canonical hi, lo, valid, n_invalid_bytes, n_ambig)."""
+    codes, certain, ambig = classify_2bit(bytes_u8)
+    invalid = ~(certain | ambig)
+    hi, lo = canonical_windows_from_codes(codes, K)
+    valid = window_valid_mask(certain, K)
+    return hi, lo, valid, jnp.sum(invalid), jnp.sum(ambig)
+
+
+@partial(jax.jit, static_argnames=("K",))
+def _chunk_count(bytes_u8, K: int):
+    hi, lo, valid, n_invalid, n_ambig = _chunk_canonical(bytes_u8, K)
+    uh, ul, cnt, nu = sort_count(hi, lo, valid)
+    return uh, ul, cnt, nu, n_invalid, n_ambig
+
+
+def _as_byte_array(data) -> np.ndarray:
+    if isinstance(data, str):
+        data = data.encode("ascii")
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        return np.frombuffer(bytes(data), dtype=np.uint8)
+    arr = np.asarray(data)
+    if arr.dtype != np.uint8:
+        raise TypeError("expected ASCII bytes or a uint8 array")
+    return arr
+
+
+def canonical_count_bytes(data, config: CountConfig = CountConfig()):
+    """Count canonical K-mers of an ASCII nucleotide buffer.
+
+    Returns ``(kmers, counts)``: ``kmers`` is a sorted np.uint64 array of
+    canonical kmer register values (compare with
+    ``Kmer.canonical().value``), ``counts`` the matching multiplicities.
+    """
+    arr = _as_byte_array(data)
+    K = config.K
+    L = arr.shape[0]
+    if L < K:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+
+    # stream in overlapping chunks: consecutive chunks share K-1 bases so
+    # no window is lost at a boundary (the shard-level carry propagation
+    # of SURVEY.md §2.7 item 4, on one device)
+    step = max(config.chunk_size - (K - 1), K)
+    acc = None  # (uh, ul, cnt) device arrays, sentinel-padded
+    total_invalid = 0
+    total_ambig = 0
+    for start in range(0, max(L - K + 1, 1), step):
+        chunk = arr[start : start + config.chunk_size]
+        uh, ul, cnt, nu, n_inv, n_amb = _chunk_count(jnp.asarray(chunk), K)
+        total_invalid += int(n_inv)
+        total_ambig += int(n_amb)
+        if acc is None:
+            acc = (uh, ul, cnt)
+        else:
+            uh2, ul2, cnt2, _ = merge_sorted_counts(
+                acc[0], acc[1], acc[2], uh, ul, cnt
+            )
+            acc = (uh2, ul2, cnt2)
+
+    if total_invalid:
+        raise EncodeError(DNAAlphabet2(), "<batch input>")
+    if total_ambig and not config.skip_ambiguous:
+        raise EncodeError(DNAAlphabet2(), "<ambiguous base>")
+
+    uh, ul, cnt = (np.asarray(x) for x in acc)
+    kmers = (uh.astype(np.uint64) << np.uint64(32)) | ul.astype(np.uint64)
+    keep = cnt > 0
+    return kmers[keep], cnt[keep].astype(np.int64)
+
+
+def canonical_count(data, K: int = 31, skip_ambiguous: bool = True):
+    """Convenience wrapper: ``canonical_count("ACGT...", K)``."""
+    return canonical_count_bytes(
+        data, CountConfig(K=K, skip_ambiguous=skip_ambiguous)
+    )
+
+
+def counts_to_dict(kmers: np.ndarray, counts: np.ndarray, K: int):
+    """Materialize a (kmers, counts) table as {Kmer: int} for interop/tests."""
+    from ..kmer import Kmer
+    from ..alphabets import DNAAlphabet2
+
+    A = DNAAlphabet2()
+    return {
+        Kmer.unsafe(A, K, int(k)): int(c) for k, c in zip(kmers, counts)
+    }

@@ -7,12 +7,18 @@ path itself is exercised by bench.py / the driver on real hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The sandbox's axon PJRT plugin force-sets jax_platforms="axon,cpu" at
+# registration, overriding the JAX_PLATFORMS env var — so select the CPU
+# backend through the config API instead.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
