@@ -1,0 +1,57 @@
+"""Benchmark: canonical 31-mer counting throughput (bases/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "bases/sec", "vs_baseline": N}
+
+The BASELINE.md reference point: Kmers.jl publishes no counting number;
+its CanonicalKmers iteration runs at ~1 ns/base on a single CPU core and
+dict counting dominates at ~20-50 ns/kmer, so we take 5.0e7 bases/sec as
+a generous single-core estimate for canonical-31-mer *counting* (iterate
++ hash-table update) and report vs_baseline against BASELINE.json's
+>=10x-per-chip target, i.e. vs_baseline = value / 5.0e7.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from kmers_tpu.pipelines.canonical_count import _chunk_count
+
+    K = 31
+    L = 1 << 26  # 67M bases per dispatch
+    rng = np.random.default_rng(0)
+    data = np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, L)]
+    data = jax.device_put(data)
+
+    # compile + warmup (force with a host fetch: block_until_ready does not
+    # reliably block through the axon transport)
+    out = _chunk_count(data, K)
+    int(np.asarray(out[3]))
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = _chunk_count(data, K)
+        int(np.asarray(out[3]))  # forces completion of the whole dispatch
+    dt = (time.perf_counter() - t0) / reps
+
+    bases_per_sec = L / dt
+    print(
+        json.dumps(
+            {
+                "metric": "canonical_31mer_count_bases_per_sec_per_chip",
+                "value": round(bases_per_sec),
+                "unit": "bases/sec",
+                "vs_baseline": round(bases_per_sec / 5.0e7, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+"""Host-side ingestion: FASTA/FASTQ parsing (native C++ with fallback)."""
+
+from .fasta import read_fastx, read_fastx_bytes, native_available

@@ -1,0 +1,166 @@
+"""FASTA/FASTQ ingestion: native C++ scanner with a pure-Python fallback.
+
+The reference delegates file IO to FASTX.jl and feeds kmer iterators with
+``StringView``s (/root/reference/ext/StringViewsExt.jl,
+docs/src/minhash.md); this framework owns ingestion because the TPU
+encode kernels want large contiguous byte buffers, not line-by-line
+records.  Records come back CSR-style: one concatenated sequence byte
+buffer plus record-start offsets — windows must not span records, which
+downstream masking enforces via these offsets.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["read_fastx", "read_fastx_bytes", "native_available"]
+
+_NATIVE_DIR = Path(__file__).parent / "native"
+_SO_PATH = _NATIVE_DIR / "libfastx.so"
+_lib = None
+
+
+def _build_native() -> bool:
+    src = _NATIVE_DIR / "fastx.cpp"
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-o", str(_SO_PATH), str(src),
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load_native():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _SO_PATH.exists() and not _build_native():
+        _lib = False
+        return _lib
+    try:
+        lib = ctypes.CDLL(str(_SO_PATH))
+        lib.fastx_count_records.restype = ctypes.c_int64
+        lib.fastx_count_records.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+        ]
+        lib.fastx_scan.restype = ctypes.c_int
+        lib.fastx_scan.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+    except OSError:
+        _lib = False
+    return _lib
+
+
+def native_available() -> bool:
+    return bool(_load_native())
+
+
+def _scan_native(buf: np.ndarray):
+    lib = _load_native()
+    n_rec = lib.fastx_count_records(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size
+    )
+    if n_rec < 0:
+        raise ValueError("malformed FASTA/FASTQ input")
+    seq = np.empty(buf.size, dtype=np.uint8)
+    offsets = np.empty(n_rec + 1, dtype=np.int64)
+    out_n = ctypes.c_int64()
+    out_len = ctypes.c_int64()
+    rc = lib.fastx_scan(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.size,
+        seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.byref(out_n),
+        ctypes.byref(out_len),
+    )
+    if rc != 0:
+        raise ValueError("malformed FASTA/FASTQ input")
+    return seq[: out_len.value].copy(), offsets[: out_n.value + 1]
+
+
+def _scan_python(buf: np.ndarray):
+    data = buf.tobytes()
+    if not data:
+        return np.zeros(0, np.uint8), np.zeros(1, np.int64)
+    seqs: list[bytes] = []
+    offsets = [0]
+    total = 0
+    if data[0:1] == b">":
+        for rec in data.split(b">")[1:]:
+            lines = rec.split(b"\n")
+            s = b"".join(l.replace(b"\r", b"") for l in lines[1:])
+            seqs.append(s)
+            total += len(s)
+            offsets.append(total)
+    elif data[0:1] == b"@":
+        lines = data.split(b"\n")
+        i = 0
+        while i < len(lines) and lines[i]:
+            if not lines[i].startswith(b"@"):
+                raise ValueError("malformed FASTQ input")
+            i += 1
+            seq_parts = []
+            while i < len(lines) and not lines[i].startswith(b"+"):
+                seq_parts.append(lines[i].replace(b"\r", b""))
+                i += 1
+            s = b"".join(seq_parts)
+            i += 1  # '+' line
+            q = 0
+            while i < len(lines) and q < len(s):
+                q += len(lines[i].replace(b"\r", b""))
+                i += 1
+            seqs.append(s)
+            total += len(s)
+            offsets.append(total)
+            while i < len(lines) and not lines[i]:
+                i += 1
+    else:
+        raise ValueError("malformed FASTA/FASTQ input")
+    return (
+        np.frombuffer(b"".join(seqs), dtype=np.uint8).copy(),
+        np.asarray(offsets, dtype=np.int64),
+    )
+
+
+def read_fastx_bytes(data, use_native: bool | None = None):
+    """Parse FASTA/FASTQ bytes -> (seq_bytes uint8, record_offsets int64).
+
+    ``seq_bytes`` is every record's sequence concatenated (newlines and
+    headers removed); ``record_offsets[i]:record_offsets[i+1]`` delimits
+    record *i*.
+    """
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    else:
+        buf = np.asarray(data, dtype=np.uint8)
+    use = native_available() if use_native is None else use_native
+    if use:
+        return _scan_native(np.ascontiguousarray(buf))
+    return _scan_python(buf)
+
+
+def read_fastx(path, use_native: bool | None = None):
+    """Read and parse a FASTA/FASTQ file (see :func:`read_fastx_bytes`)."""
+    with open(path, "rb") as f:
+        return read_fastx_bytes(f.read(), use_native=use_native)

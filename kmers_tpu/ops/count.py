@@ -3,8 +3,20 @@
 The in-framework replacement for the reference's user-side dict counting
 (SURVEY.md §3.3: "user code: counts[kmer] += 1").  XLA wants static shapes
 and no dynamic allocation, so counting is a deterministic sort +
-run-length encode: lexicographic two-key sort of (hi, lo), group
-boundaries by neighbor comparison, per-group counts by segment-sum.
+run-length encode.
+
+TPU-shaped design: scatters are serialized on TPU and random gathers
+(e.g. searchsorted) cost seconds at 10^8 elements, so the run-length
+encoding uses neither.  Counting is:
+
+1. lexicographic two-key sort of (hi, lo);
+2. run boundaries by neighbor comparison; per-element run totals by
+   cumulative scans (cumsum for weights, cummax to propagate each run's
+   starting offset — valid because run starts are nondecreasing);
+3. compaction of one representative per run to the front by a *stable
+   partition sort* on the single "is run end" bit — a second lax.sort,
+   the only fast reordering primitive on TPU.
+
 Results are dense, sorted, and bit-exact reproducible — the property the
 multi-device hash-prefix merge (kmers_tpu.parallel) relies on.
 
@@ -14,8 +26,6 @@ never equal the sentinel (true for the K<=31 DNA north star).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +40,49 @@ _I32 = jnp.int32
 SENTINEL = 0xFFFFFFFF
 
 
+def _run_length_encode(shi, slo, weights=None):
+    """Dense (uniq_hi, uniq_lo, counts, n_unique) of a pre-sorted stream.
+
+    ``weights`` (optional, int32) are summed per run; default weight is 1.
+    Scatter- and gather-free (see module docstring).
+    """
+    n = shi.shape[0]
+    sent = jnp.asarray(SENTINEL, _U32)
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])]
+    )
+    is_last = jnp.concatenate([first[1:], jnp.ones(1, bool)])
+    if weights is None:
+        wcum = jnp.arange(1, n + 1, dtype=_I32)  # inclusive cumsum of ones
+        w = jnp.ones((), _I32)
+    else:
+        w = weights.astype(_I32)
+        wcum = jnp.cumsum(w)
+    # exclusive-cumsum value at each element's run start, propagated along
+    # the run: run starts increase, and wcum is nondecreasing, so a running
+    # max of (first ? wcum - w : 0) carries the latest start's offset.
+    start_w = lax.cummax(jnp.where(first, wcum - w, 0))
+    run_total = wcum - start_w
+    # stable partition: run ends (one per distinct kmer, already in sorted
+    # order) move to the front; everything else keeps order behind them.
+    not_last = (~is_last).astype(jnp.uint8)
+    _, uniq_hi, uniq_lo, counts = lax.sort(
+        (not_last, shi, slo, run_total), num_keys=1, is_stable=True
+    )
+    # positions beyond the run count hold interior (non-end) elements:
+    # mask them to sentinel/zero padding
+    n_runs = jnp.sum(first.astype(_I32))
+    in_table = jnp.arange(n, dtype=_I32) < n_runs
+    uniq_hi = jnp.where(in_table, uniq_hi, sent)
+    uniq_lo = jnp.where(in_table, uniq_lo, sent)
+    is_sentinel = (uniq_hi == sent) & (uniq_lo == sent)
+    counts = jnp.where(in_table & ~is_sentinel, counts, 0)
+    # a real sentinel run (masked windows) sorts last in the input stream
+    has_sentinel = (shi[-1] == sent) & (slo[-1] == sent)
+    n_unique = n_runs - has_sentinel.astype(_I32)
+    return uniq_hi, uniq_lo, counts, n_unique
+
+
 @jax.jit
 def sort_count(hi, lo, valid=None):
     """Count distinct kmers in a U64 stream.
@@ -37,32 +90,15 @@ def sort_count(hi, lo, valid=None):
     Returns ``(uniq_hi, uniq_lo, counts, n_unique)`` where the first
     ``n_unique`` slots hold the sorted distinct kmers and their
     multiplicities; remaining slots are sentinel/zero padding (static
-    shapes — callers slice with ``n_unique`` host-side).
+    shapes — callers slice with ``n_unique`` host-side, or mask with
+    ``counts > 0``).
     """
-    n = hi.shape[0]
     sent = jnp.asarray(SENTINEL, _U32)
     if valid is not None:
         hi = jnp.where(valid, hi, sent)
         lo = jnp.where(valid, lo, sent)
     shi, slo = lax.sort((hi, lo), num_keys=2)
-    first = jnp.concatenate(
-        [
-            jnp.ones(1, bool),
-            (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
-        ]
-    )
-    gid = jnp.cumsum(first.astype(_I32)) - 1
-    counts = jax.ops.segment_sum(
-        jnp.ones(n, _I32), gid, num_segments=n, indices_are_sorted=True
-    )
-    uniq_hi = jnp.full(n, SENTINEL, _U32).at[gid].set(shi)
-    uniq_lo = jnp.full(n, SENTINEL, _U32).at[gid].set(slo)
-    is_sentinel = (uniq_hi == sent) & (uniq_lo == sent)
-    counts = jnp.where(is_sentinel, 0, counts)
-    n_unique = jnp.sum(first.astype(_I32)) - jnp.any(
-        (shi == sent) & (slo == sent)
-    ).astype(_I32)
-    return uniq_hi, uniq_lo, counts, n_unique
+    return _run_length_encode(shi, slo)
 
 
 @jax.jit
@@ -76,21 +112,5 @@ def merge_sorted_counts(hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b):
     hi = jnp.concatenate([hi_a, hi_b])
     lo = jnp.concatenate([lo_a, lo_b])
     cnt = jnp.concatenate([cnt_a, cnt_b]).astype(_I32)
-    n = hi.shape[0]
-    sent = jnp.asarray(SENTINEL, _U32)
     shi, slo, scnt = lax.sort((hi, lo, cnt), num_keys=2)
-    first = jnp.concatenate(
-        [jnp.ones(1, bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])]
-    )
-    gid = jnp.cumsum(first.astype(_I32)) - 1
-    counts = jax.ops.segment_sum(
-        scnt, gid, num_segments=n, indices_are_sorted=True
-    )
-    uniq_hi = jnp.full(n, SENTINEL, _U32).at[gid].set(shi)
-    uniq_lo = jnp.full(n, SENTINEL, _U32).at[gid].set(slo)
-    is_sentinel = (uniq_hi == sent) & (uniq_lo == sent)
-    counts = jnp.where(is_sentinel, 0, counts)
-    n_unique = jnp.sum(first.astype(_I32)) - jnp.any(
-        (shi == sent) & (slo == sent)
-    ).astype(_I32)
-    return uniq_hi, uniq_lo, counts, n_unique
+    return _run_length_encode(shi, slo, scnt)

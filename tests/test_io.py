@@ -1,0 +1,79 @@
+"""FASTA/FASTQ ingestion: native scanner vs Python fallback vs fixtures."""
+
+import numpy as np
+import pytest
+
+from kmers_tpu.io import native_available, read_fastx_bytes
+
+FASTA = b""">chr1 description here
+ACGTACGT
+ACGT
+>chr2
+NNNACGT
+>empty
+
+>chr3
+acgtn
+"""
+
+FASTQ = b"""@read1
+ACGTACGT
++
+IIIIIIII
+@read2 desc
+ACGT
++read2
+!!!!
+"""
+
+
+class TestFasta:
+    @pytest.mark.parametrize("use_native", [False, True])
+    def test_basic(self, use_native):
+        if use_native and not native_available():
+            pytest.skip("native scanner unavailable")
+        seq, off = read_fastx_bytes(FASTA, use_native=use_native)
+        records = [
+            bytes(seq[off[i] : off[i + 1]]) for i in range(len(off) - 1)
+        ]
+        assert records == [b"ACGTACGTACGT", b"NNNACGT", b"", b"acgtn"]
+
+    @pytest.mark.parametrize("use_native", [False, True])
+    def test_fastq(self, use_native):
+        if use_native and not native_available():
+            pytest.skip("native scanner unavailable")
+        seq, off = read_fastx_bytes(FASTQ, use_native=use_native)
+        records = [
+            bytes(seq[off[i] : off[i + 1]]) for i in range(len(off) - 1)
+        ]
+        assert records == [b"ACGTACGT", b"ACGT"]
+
+    def test_native_matches_python(self, rng):
+        if not native_available():
+            pytest.skip("native scanner unavailable")
+        # random multi-record FASTA with CRLF and wrapped lines
+        recs = []
+        blob = b""
+        for i in range(20):
+            n = int(rng.integers(0, 500))
+            s = bytes(
+                np.frombuffer(b"ACGTN", np.uint8)[rng.integers(0, 5, n)]
+            )
+            recs.append(s)
+            wrapped = b"\r\n".join(
+                s[j : j + 60] for j in range(0, max(n, 1), 60)
+            )
+            blob += b">rec%d\r\n" % i + wrapped + b"\r\n"
+        sn, on_ = read_fastx_bytes(blob, use_native=True)
+        sp, op = read_fastx_bytes(blob, use_native=False)
+        assert np.array_equal(sn, sp) and np.array_equal(on_, op)
+        got = [bytes(sn[on_[i] : on_[i + 1]]) for i in range(len(on_) - 1)]
+        assert got == recs
+
+    def test_malformed(self):
+        with pytest.raises(ValueError):
+            read_fastx_bytes(b"not a fasta")
+
+    def test_empty(self):
+        seq, off = read_fastx_bytes(b"")
+        assert seq.size == 0 and list(off) == [0]

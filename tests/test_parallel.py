@@ -1,0 +1,112 @@
+"""Multi-device plane on the virtual 8-device CPU mesh (SURVEY.md §4):
+sharded counting must be bit-identical to the single-chip pipeline and
+the scalar oracle for any device count."""
+
+import collections
+
+import numpy as np
+import pytest
+
+import jax
+
+from kmers_tpu import UnambiguousDNAMers
+from kmers_tpu.parallel import (
+    ShardedCountConfig,
+    data_mesh,
+    sharded_canonical_count,
+)
+from kmers_tpu.pipelines import canonical_count
+
+
+def rand_dna(rng, n, chars="ACGTN"):
+    return "".join(chars[i] for i in rng.integers(0, len(chars), n))
+
+
+@pytest.fixture(scope="module")
+def sample(request):
+    rng = np.random.default_rng(123)
+    return rand_dna(rng, 20000)
+
+
+class TestShardedCount:
+    @pytest.mark.parametrize("n_dev", [1, 2, 3, 5, 8])
+    def test_parity_across_device_counts(self, sample, n_dev):
+        mesh = data_mesh(n_dev)
+        k, c = sharded_canonical_count(sample, ShardedCountConfig(K=31), mesh)
+        k1, c1 = canonical_count(sample, K=31)
+        assert np.array_equal(k, k1) and np.array_equal(c, c1)
+
+    def test_vs_scalar_oracle(self, sample):
+        mesh = data_mesh(8)
+        K = 15
+        k, c = sharded_canonical_count(sample, ShardedCountConfig(K=K), mesh)
+        oracle = collections.Counter(
+            x.canonical().value for x, _ in UnambiguousDNAMers(K, sample)
+        )
+        assert dict(zip(k.tolist(), c.tolist())) == {
+            int(x): v for x, v in oracle.items()
+        }
+
+    def test_boundary_windows(self):
+        # shard boundaries must neither lose nor duplicate windows: a
+        # repeated motif spanning every boundary
+        s = "ACGTACGTA" * 2000
+        mesh = data_mesh(8)
+        K = 9
+        k, c = sharded_canonical_count(s, ShardedCountConfig(K=K), mesh)
+        k1, c1 = canonical_count(s, K=K)
+        assert np.array_equal(k, k1) and np.array_equal(c, c1)
+        assert c.sum() == len(s) - K + 1
+
+    def test_short_input(self):
+        mesh = data_mesh(8)
+        k, c = sharded_canonical_count("ACG", ShardedCountConfig(K=31), mesh)
+        assert k.size == 0
+
+    def test_invalid_raises(self):
+        from kmers_tpu import EncodeError
+
+        mesh = data_mesh(4)
+        with pytest.raises(EncodeError):
+            sharded_canonical_count(
+                "ACGT!" + "ACGT" * 100, ShardedCountConfig(K=5), mesh
+            )
+
+    def test_low_complexity_no_overflow(self):
+        # local dedup makes bucket load proportional to distinct kmers:
+        # a poly-A chromosome (1 distinct canonical kmer) must count fine
+        # even with a tiny bucket factor
+        s = "A" * 4000
+        mesh = data_mesh(8)
+        k, c = sharded_canonical_count(
+            s, ShardedCountConfig(K=31, bucket_factor=0.3), mesh
+        )
+        assert list(k) == [0] and list(c) == [4000 - 31 + 1]
+
+    def test_overflow_detection(self):
+        # high-entropy input with a bucket factor far below the distinct
+        # load must fail loudly, never drop kmers silently
+        rng = np.random.default_rng(5)
+        s = rand_dna(rng, 20000, "ACGT")  # every window valid and distinct-ish
+        mesh = data_mesh(8)
+        with pytest.raises(RuntimeError):
+            sharded_canonical_count(
+                s, ShardedCountConfig(K=31, bucket_factor=0.01), mesh
+            )
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys, pathlib
+
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert int(np.asarray(out[3])) > 0
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
