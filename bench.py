@@ -28,15 +28,17 @@ def main():
     data = np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, L)]
     data = jax.device_put(data)
 
+    use_pallas = jax.default_backend() != "cpu"
+
     # compile + warmup (force with a host fetch: block_until_ready does not
     # reliably block through the axon transport)
-    out = _chunk_count(data, K)
+    out = _chunk_count(data, K, use_pallas)
     int(np.asarray(out[3]))
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = _chunk_count(data, K)
+        out = _chunk_count(data, K, use_pallas)
         int(np.asarray(out[3]))  # forces completion of the whole dispatch
     dt = (time.perf_counter() - t0) / reps
 

@@ -128,6 +128,20 @@ class Kmer:
         return n_words(self.alphabet, self.K)
 
     @property
+    def capacity(self) -> int:
+        """Symbols the register could hold (reference kmer.jl:131-133)."""
+        per_word = 64 // self.bps
+        return per_word * self.nsize
+
+    @property
+    def n_unused(self) -> int:
+        return self.capacity - self.K
+
+    @property
+    def bits_unused(self) -> int:
+        return self.n_unused * self.bps
+
+    @property
     def words(self) -> tuple:
         return derive_words(self.alphabet, self.K, self.value)
 

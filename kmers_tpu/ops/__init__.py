@@ -23,6 +23,7 @@ from .windows import (
 from .hashing import fx_hash_u64, fx_hash_words
 from .count import sort_count, merge_sorted_counts, SENTINEL
 from .minimizer import sliding_min_u64, minimizers
+from .stats import popcount32, gc_count_u64
 from .translate_ops import (
     translate_codes,
     six_frame_codes,

@@ -1,0 +1,8 @@
+"""Hand-written Pallas TPU kernels for the hot ops.
+
+The jnp implementations in ``kmers_tpu.ops`` are the semantic reference;
+these kernels are drop-in faster paths, validated against them in
+tests/test_pallas.py.
+"""
+
+from .window_kernel import canonical_windows_pallas, HAVE_PALLAS

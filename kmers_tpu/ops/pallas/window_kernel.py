@@ -1,0 +1,245 @@
+"""Fused canonical-window extraction Pallas kernel.
+
+Computes, for every position of a packed 2-bit base stream, the canonical
+(min of forward and reverse-complement) K-mer register — the fusion of
+``windows_from_codes`` + ``rc_windows_from_codes`` + ``u64.minimum``
+(SURVEY.md §7 M2's "one kernel").  Differences from the jnp path:
+
+- the reverse complement is computed *in-register* per window (complement
+  XOR + 64-bit bit-reversal + adjacent-bit swap) instead of via a second
+  reversed stream — halving HBM reads;
+- outputs are in offset-major layout ``(16, Q)`` where window position
+  ``i = 16*q + r`` lives at ``[r, q]`` — the natural vector layout for
+  the 16 sub-word offsets, avoiding any in-kernel transpose.  Counting is
+  order-agnostic (a sort follows); order-sensitive consumers use
+  :func:`linearize_offset_major`.
+
+Mosaic-shaped: all values live as (1, W) / (16, W) lane vectors, word
+adjacency comes from ``pltpu.roll`` along lanes plus a precomputed
+2-word carry per tile (the cross-tile analogue of the reference's
+``leftshift_carry``, /root/reference/src/tuple_bitflipping.jl:24-46).
+~70 uint32 VPU ops per window; no gathers, no MXU, no relayouts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # pallas requires a TPU/Mosaic or interpreter backend
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+__all__ = [
+    "canonical_windows_pallas",
+    "canonical_windows_masked_pallas",
+    "linearize_offset_major",
+    "HAVE_PALLAS",
+]
+
+#: sentinel emitted for invalid windows by the masked kernel (matches
+#: kmers_tpu.ops.count.SENTINEL in both limbs)
+_SENT = 0xFFFFFFFF
+
+_U32 = jnp.uint32
+
+
+def _bitrev32(y):
+    m1 = jnp.asarray(0x55555555, _U32)
+    m2 = jnp.asarray(0x33333333, _U32)
+    m4 = jnp.asarray(0x0F0F0F0F, _U32)
+    m8 = jnp.asarray(0x00FF00FF, _U32)
+    y = ((y >> 1) & m1) | ((y & m1) << 1)
+    y = ((y >> 2) & m2) | ((y & m2) << 2)
+    y = ((y >> 4) & m4) | ((y & m4) << 4)
+    y = ((y >> 8) & m8) | ((y & m8) << 8)
+    return (y >> 16) | (y << 16)
+
+
+def _shr64(hi, lo, s: int):
+    if s == 0:
+        return hi, lo
+    if s < 32:
+        return hi >> s, (lo >> s) | (hi << (32 - s))
+    return jnp.zeros_like(hi), hi >> (s - 32)
+
+
+def _adjacent(words_ref, next_ref, W: int, interpret: bool):
+    """(w, w+1, w+2) lane vectors of a tile, with cross-tile carry."""
+    wa = words_ref[:]  # (1, W)
+    c0 = next_ref[0, 0]
+    c1 = next_ref[0, 1]
+    if interpret:
+        w1 = jnp.roll(wa, -1, axis=1)
+        w2 = jnp.roll(wa, -2, axis=1)
+    else:
+        # pltpu.roll requires non-negative shifts; left-by-k == right-by-(W-k)
+        w1 = pltpu.roll(wa, W - 1, axis=1)
+        w2 = pltpu.roll(wa, W - 2, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    w1 = jnp.where(lane == W - 1, c0, w1)
+    w2 = jnp.where(lane == W - 2, c0, jnp.where(lane == W - 1, c1, w2))
+    return wa, w1, w2
+
+
+def _window_value(wa, w1, w2, o: int, s_out: int):
+    """Register value (fh, fl) of the window at sub-word bit offset o."""
+    if o == 0:
+        hi_full, lo_full = wa, w1
+    else:
+        hi_full = (wa << o) | (w1 >> (32 - o))
+        lo_full = (w1 << o) | (w2 >> (32 - o))
+    return _shr64(hi_full, lo_full, s_out)
+
+
+def _canonical(fh, fl, K: int, s_out: int):
+    """Canonical select with in-register reverse complement: complement
+    (XOR coding mask), 64-bit bit reversal (word swap + per-word bitrev),
+    adjacent-bit swap, realign to the low bits."""
+    mask_hi = jnp.asarray(((1 << (2 * K)) - 1) >> 32, _U32)
+    mask_lo = jnp.asarray(((1 << (2 * K)) - 1) & 0xFFFFFFFF, _U32)
+    mA = jnp.asarray(0xAAAAAAAA, _U32)
+    mS = jnp.asarray(0x55555555, _U32)
+    zh = _bitrev32(fl ^ mask_lo)
+    zl = _bitrev32(fh ^ mask_hi)
+    zh = ((zh & mA) >> 1) | ((zh & mS) << 1)
+    zl = ((zl & mA) >> 1) | ((zl & mS) << 1)
+    rh, rl = _shr64(zh, zl, s_out)
+    fwd_le = (fh < rh) | ((fh == rh) & (fl <= rl))
+    return jnp.where(fwd_le, fh, rh), jnp.where(fwd_le, fl, rl)
+
+
+def _kernel(words_ref, next_ref, hi_ref, lo_ref, *, K: int, W: int, interpret: bool):
+    wa, w1, w2 = _adjacent(words_ref, next_ref, W, interpret)
+    s_out = 64 - 2 * K
+    for r in range(16):
+        fh, fl = _window_value(wa, w1, w2, 2 * r, s_out)
+        ch, cl = _canonical(fh, fl, K, s_out)
+        hi_ref[r : r + 1, :] = ch
+        lo_ref[r : r + 1, :] = cl
+
+
+def _kernel_masked(
+    words_ref, next_ref, flags_ref, fnext_ref, hi_ref, lo_ref,
+    *, K: int, W: int, interpret: bool,
+):
+    """Masked variant: a second packed stream carries 0b11 at bad bases;
+    a window whose flag register is nonzero emits the count sentinel."""
+    wa, w1, w2 = _adjacent(words_ref, next_ref, W, interpret)
+    fa, f1, f2 = _adjacent(flags_ref, fnext_ref, W, interpret)
+    s_out = 64 - 2 * K
+    sent = jnp.asarray(_SENT, _U32)
+    for r in range(16):
+        fh, fl = _window_value(wa, w1, w2, 2 * r, s_out)
+        gh, gl = _window_value(fa, f1, f2, 2 * r, s_out)
+        ch, cl = _canonical(fh, fl, K, s_out)
+        bad = (gh | gl) != 0
+        hi_ref[r : r + 1, :] = jnp.where(bad, sent, ch)
+        lo_ref[r : r + 1, :] = jnp.where(bad, sent, cl)
+
+
+@partial(jax.jit, static_argnames=("K", "W", "interpret"))
+def canonical_windows_pallas(words, K: int, W: int = 4096, interpret: bool = False):
+    """Canonical K-mer registers of a packed word stream, offset-major.
+
+    ``words``: uint32 packed stream (from ``pack_words``; pad words are
+    ignored).  Returns ``(hi, lo)`` of shape (16, Qpad) where entry
+    [r, q] is the canonical kmer at position 16*q + r.  Callers mask or
+    slice positions >= L - K + 1.
+    """
+    if not 1 <= K <= 32:
+        raise ValueError("pallas canonical windows support 1 <= K <= 32")
+    Q = words.shape[0]
+    grid = max(-(-Q // W), 1)
+    padded = jnp.zeros(grid * W + 2, _U32).at[:Q].set(words)
+    # rows padded to one extra tile so block i+1 always exists — the
+    # kernel reads the next tile's first two words as its cross-tile carry
+    rows = (
+        jnp.zeros((grid + 1) * W, _U32).at[: grid * W + 2].set(padded).reshape(1, -1)
+    )
+    kern = partial(_kernel, K=K, W=W, interpret=interpret)
+    hi, lo = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, i + 1), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, grid * W), _U32),
+            jax.ShapeDtypeStruct((16, grid * W), _U32),
+        ],
+        interpret=interpret,
+    )(rows, rows)
+    return hi[:, :Q], lo[:, :Q]
+
+
+@partial(jax.jit, static_argnames=("K", "W", "interpret"))
+def canonical_windows_masked_pallas(
+    codes, certain, K: int, W: int = 4096, interpret: bool = False
+):
+    """Canonical windows with fused validity masking, offset-major.
+
+    ``certain`` flags unambiguous bases; a window containing any uncertain
+    base — or extending past the sequence end — comes back as the count
+    sentinel (all-ones limbs), ready for
+    :func:`kmers_tpu.ops.count.sort_count` with ``valid=None``.  The mask
+    is carried as a second packed stream with identical geometry (0b11 at
+    bad bases), windowed by the same shift network — avoiding any
+    strided/transposed mask materialization, which costs more than the
+    whole kernel on TPU.
+    """
+    if not 1 <= K <= 31:
+        raise ValueError("masked canonical windows support 1 <= K <= 31")
+    from ..encode import pack_words
+
+    L = codes.shape[0]
+    Qreal = max(-(-L // 16), 1)
+    grid = max(-(-Qreal // W), 1)
+    words = pack_words(codes, bps=2, pad_words=0)
+    rows = jnp.zeros((grid + 1) * W, _U32).at[:Qreal].set(words).reshape(1, -1)
+    F = grid * W + (-(-K // 16)) + 1
+    flag_codes = (
+        jnp.full(16 * F, 3, _U32)
+        .at[:L]
+        .set(jnp.where(certain, 0, 3).astype(_U32))
+    )
+    fwords = pack_words(flag_codes, bps=2, pad_words=0)
+    rows_f = jnp.zeros((grid + 1) * W, _U32).at[:F].set(fwords).reshape(1, -1)
+    kern = partial(_kernel_masked, K=K, W=W, interpret=interpret)
+    hi, lo = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, i + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, i + 1), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, grid * W), _U32),
+            jax.ShapeDtypeStruct((16, grid * W), _U32),
+        ],
+        interpret=interpret,
+    )(rows, rows, rows_f, rows_f)
+    return hi, lo
+
+
+def linearize_offset_major(arr_om, n: int):
+    """(16, Q) offset-major -> (n,) position-major (window i at index i)."""
+    return arr_om.T.reshape(-1)[:n]

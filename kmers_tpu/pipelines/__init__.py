@@ -6,3 +6,5 @@ from .canonical_count import (
     canonical_count_bytes,
     counts_to_dict,
 )
+from .minhash import minhash_sketch, jaccard
+from .extract import extract_kmers, spaced_kmers, minimizer_select

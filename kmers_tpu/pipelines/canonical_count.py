@@ -24,8 +24,18 @@ import numpy as np
 from ..alphabets import EncodeError, DNAAlphabet2
 from ..ops import u64 as u64ops
 from ..ops.count import SENTINEL, merge_sorted_counts, sort_count
-from ..ops.encode import classify_2bit
-from ..ops.windows import canonical_windows_from_codes, window_valid_mask
+from ..ops.encode import classify_2bit, pack_words
+from ..ops.windows import (
+    canonical_windows_from_codes,
+    window_valid_mask,
+    window_valid_mask_om,
+)
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
 
 __all__ = [
     "CountConfig",
@@ -47,6 +57,8 @@ class CountConfig:
     skip_ambiguous: bool = True
     #: bases per jitted dispatch; inputs longer than this are streamed.
     chunk_size: int = 1 << 24
+    #: use the fused Mosaic window kernel; None = auto (TPU backends only).
+    use_pallas: bool | None = None
 
     def __post_init__(self):
         if not 1 <= self.K <= 31:
@@ -55,19 +67,33 @@ class CountConfig:
             )
 
 
-@partial(jax.jit, static_argnames=("K",))
-def _chunk_canonical(bytes_u8, K: int):
-    """One chunk: bytes -> (canonical hi, lo, valid, n_invalid_bytes, n_ambig)."""
+@partial(jax.jit, static_argnames=("K", "use_pallas"))
+def _chunk_canonical(bytes_u8, K: int, use_pallas: bool = False):
+    """One chunk: bytes -> (canonical hi, lo, valid, n_invalid_bytes, n_ambig).
+
+    With ``use_pallas`` the fused Mosaic kernel produces the windows in
+    offset-major layout; counting is order-agnostic, so the mask is
+    simply permuted to match (see ops/pallas/window_kernel.py).
+    """
     codes, certain, ambig = classify_2bit(bytes_u8)
     invalid = ~(certain | ambig)
-    hi, lo = canonical_windows_from_codes(codes, K)
-    valid = window_valid_mask(certain, K)
+    if use_pallas:
+        from ..ops.pallas.window_kernel import canonical_windows_masked_pallas
+
+        # invalid windows come back pre-sentineled; no mask array needed
+        hi_om, lo_om = canonical_windows_masked_pallas(codes, certain, K)
+        hi, lo, valid = hi_om.reshape(-1), lo_om.reshape(-1), None
+    else:
+        hi, lo = canonical_windows_from_codes(codes, K)
+        valid = window_valid_mask(certain, K)
     return hi, lo, valid, jnp.sum(invalid), jnp.sum(ambig)
 
 
-@partial(jax.jit, static_argnames=("K",))
-def _chunk_count(bytes_u8, K: int):
-    hi, lo, valid, n_invalid, n_ambig = _chunk_canonical(bytes_u8, K)
+@partial(jax.jit, static_argnames=("K", "use_pallas"))
+def _chunk_count(bytes_u8, K: int, use_pallas: bool = False):
+    hi, lo, valid, n_invalid, n_ambig = _chunk_canonical(
+        bytes_u8, K, use_pallas
+    )
     uh, ul, cnt, nu = sort_count(hi, lo, valid)
     return uh, ul, cnt, nu, n_invalid, n_ambig
 
@@ -103,9 +129,14 @@ def canonical_count_bytes(data, config: CountConfig = CountConfig()):
     acc = None  # (uh, ul, cnt) device arrays, sentinel-padded
     total_invalid = 0
     total_ambig = 0
+    use_pallas = (
+        _on_tpu() if config.use_pallas is None else config.use_pallas
+    )
     for start in range(0, max(L - K + 1, 1), step):
         chunk = arr[start : start + config.chunk_size]
-        uh, ul, cnt, nu, n_inv, n_amb = _chunk_count(jnp.asarray(chunk), K)
+        uh, ul, cnt, nu, n_inv, n_amb = _chunk_count(
+            jnp.asarray(chunk), K, use_pallas
+        )
         total_invalid += int(n_inv)
         total_ambig += int(n_amb)
         if acc is None:

@@ -1,0 +1,81 @@
+"""MinHash sketching of canonical k-mers.
+
+TPU-native version of the reference's headline minhash workflow
+(/root/reference/docs/src/minhash.md): the sketch is the ``s`` smallest
+distinct FxHash values over the canonical K-mers of a sequence.  On
+device, hashes are sorted and a static prefix is returned; the tiny
+host-side dedup trims it to the sketch.  Sketches from different inputs
+merge/compare with plain set ops (Mash-style Jaccard estimation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..alphabets import EncodeError, DNAAlphabet2
+from ..ops.count import SENTINEL
+from ..ops.encode import classify_2bit
+from ..ops.hashing import fx_hash_u64
+from ..ops.windows import canonical_windows_from_codes, window_valid_mask
+
+__all__ = ["minhash_sketch", "jaccard"]
+
+
+@partial(jax.jit, static_argnames=("K", "prefix"))
+def _sketch_chunk(bytes_u8, K: int, prefix: int):
+    codes, certain, ambig = classify_2bit(bytes_u8)
+    invalid = ~(certain | ambig)
+    hi, lo = canonical_windows_from_codes(codes, K)
+    valid = window_valid_mask(certain, K)
+    hh, hl = fx_hash_u64(hi, lo)
+    sent = jnp.asarray(SENTINEL, jnp.uint32)
+    hh = jnp.where(valid, hh, sent)
+    hl = jnp.where(valid, hl, sent)
+    shh, shl = jax.lax.sort((hh, hl), num_keys=2)
+    return shh[:prefix], shl[:prefix], jnp.sum(invalid)
+
+
+def minhash_sketch(data, K: int = 16, s: int = 1000, skip_ambiguous: bool = True):
+    """The ``s`` smallest distinct canonical-kmer FxHashes of ``data``.
+
+    Returns a sorted np.uint64 array of length <= s.
+    """
+    if isinstance(data, str):
+        data = data.encode("ascii")
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    if arr.size < K:
+        return np.zeros(0, np.uint64)
+    prefix = min(max(4 * s, 64), max(arr.size - K + 1, 1))
+    hh, hl, n_invalid = _sketch_chunk(jnp.asarray(arr), K, prefix)
+    if int(n_invalid) and not skip_ambiguous:
+        raise EncodeError(DNAAlphabet2(), "<batch input>")
+    h = (np.asarray(hh).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        hl
+    ).astype(np.uint64)
+    h = np.unique(h)  # sorted + distinct
+    h = h[h != np.uint64(0xFFFFFFFFFFFFFFFF)]
+    if h.size < s and prefix < arr.size - K + 1:
+        # pathological duplication: widen to the exact full path
+        prefix = arr.size - K + 1
+        hh, hl, _ = _sketch_chunk(jnp.asarray(arr), K, prefix)
+        h = (np.asarray(hh).astype(np.uint64) << np.uint64(32)) | np.asarray(
+            hl
+        ).astype(np.uint64)
+        h = np.unique(h)
+        h = h[h != np.uint64(0xFFFFFFFFFFFFFFFF)]
+    return h[:s]
+
+
+def jaccard(sketch_a: np.ndarray, sketch_b: np.ndarray, s: int | None = None):
+    """Mash-style Jaccard estimate from two minhash sketches."""
+    if s is None:
+        s = min(sketch_a.size, sketch_b.size)
+    if s == 0:
+        return 0.0
+    merged = np.union1d(sketch_a, sketch_b)[:s]
+    inter = np.intersect1d(sketch_a, sketch_b, assume_unique=True)
+    return float(np.isin(merged, inter).sum()) / float(merged.size)

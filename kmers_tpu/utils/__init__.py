@@ -1,0 +1,4 @@
+"""Observability, configuration, and persistence utilities."""
+
+from .metrics import BatchStats, Metrics
+from .checkpoint import save_count_table, load_count_table

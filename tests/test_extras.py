@@ -1,0 +1,111 @@
+"""Random kmers, MinHash pipeline, metrics, checkpointing."""
+
+import collections
+
+import numpy as np
+import pytest
+
+from kmers_tpu import (
+    AminoAcidAlphabet,
+    CanonicalDNAMers,
+    DNAAlphabet2,
+    DNAAlphabet4,
+    Kmer,
+    RNAAlphabet4,
+    fx_hash,
+)
+from kmers_tpu.random import rand_kmer, rand_kmers, PROTEOGENIC_AA
+from kmers_tpu.pipelines.minhash import minhash_sketch, jaccard
+from kmers_tpu.utils import Metrics, load_count_table, save_count_table
+
+
+class TestRandom:
+    def test_two_bit_uniform(self, rng):
+        vals = rand_kmers(DNAAlphabet2(), 4, 20000, rng)
+        assert vals.max() < 256
+        # all 256 4-mers appear, roughly uniform
+        counts = np.bincount(vals.astype(np.int64), minlength=256)
+        assert (counts > 0).all()
+        assert counts.std() / counts.mean() < 0.3
+
+    def test_four_bit_one_hot(self, rng):
+        vals = rand_kmers(DNAAlphabet4(), 12, 500, rng)
+        for v in vals[:50]:
+            k = Kmer.unsafe(DNAAlphabet4(), 12, int(v))
+            assert all(s.iscertain for s in k)
+
+    def test_aa_proteogenic(self, rng):
+        vals = rand_kmers(AminoAcidAlphabet(), 8, 300, rng)
+        allowed = set(int(c) for c in PROTEOGENIC_AA)
+        for v in vals[:50]:
+            k = Kmer.unsafe(AminoAcidAlphabet(), 8, int(v))
+            assert all(k.extract_encoded_element(i) in allowed for i in range(8))
+
+    def test_scalar(self, rng):
+        k = rand_kmer(RNAAlphabet4(), 33 % 16, rng)  # K=1
+        assert len(k) == 1
+        k = rand_kmer(DNAAlphabet2(), 31, rng)
+        assert len(k) == 31
+
+    def test_k_zero(self, rng):
+        assert rand_kmer(DNAAlphabet2(), 0, rng).value == 0
+
+
+class TestMinhash:
+    def test_sketch_matches_oracle(self, rng):
+        s = "".join("ACGT"[i] for i in rng.integers(0, 4, 5000))
+        sk = minhash_sketch(s, K=16, s=100)
+        oracle = sorted(
+            {fx_hash(k) for k in CanonicalDNAMers(16, s)}
+        )[:100]
+        assert list(sk) == oracle
+
+    def test_self_similarity(self, rng):
+        s = "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+        a = minhash_sketch(s, K=16, s=200)
+        assert jaccard(a, a) == 1.0
+
+    def test_disjoint(self, rng):
+        a = minhash_sketch(
+            "".join("ACGT"[i] for i in rng.integers(0, 4, 3000)), K=16, s=100
+        )
+        b = minhash_sketch(
+            "".join("ACGT"[i] for i in rng.integers(0, 4, 3000)), K=16, s=100
+        )
+        assert jaccard(a, b) < 0.05
+
+    def test_pathological_duplication(self):
+        # low-complexity input forces the widen-to-full fallback
+        sk = minhash_sketch("ACGT" * 2000, K=8, s=16)
+        oracle = sorted({fx_hash(k) for k in CanonicalDNAMers(8, "ACGT" * 2000)})
+        assert list(sk) == oracle[:16]
+
+    def test_short(self):
+        assert minhash_sketch("ACG", K=16, s=10).size == 0
+
+
+class TestUtils:
+    def test_metrics(self):
+        m = Metrics()
+        m.start_batch()
+        m.end_batch(bases_in=100, windows_out=70, windows_skipped=2, distinct_kmers=50)
+        summ = m.summary()
+        assert summ["bases_in"] == 100 and summ["n_batches"] == 1
+        assert "bases_per_sec" in summ
+
+    def test_checkpoint_roundtrip(self, tmp_path, rng):
+        k1 = np.sort(rng.integers(0, 2**62, 100, dtype=np.uint64))
+        c1 = rng.integers(1, 10, 100).astype(np.int64)
+        k2 = np.sort(rng.integers(0, 2**62, 50, dtype=np.uint64))
+        c2 = rng.integers(1, 10, 50).astype(np.int64)
+        save_count_table(tmp_path, k1, c1, K=31, partition=0, n_partitions=2)
+        save_count_table(tmp_path, k2, c2, K=31, partition=1, n_partitions=2)
+        kmers, counts, K = load_count_table(tmp_path)
+        assert K == 31
+        want = collections.Counter()
+        for k, c in zip(k1.tolist(), c1.tolist()):
+            want[k] += c
+        for k, c in zip(k2.tolist(), c2.tolist()):
+            want[k] += c
+        assert dict(zip(kmers.tolist(), counts.tolist())) == dict(want)
+        assert np.array_equal(np.sort(kmers), kmers)

@@ -1,0 +1,112 @@
+"""Multi-word (K > 32) array plane vs the scalar oracle."""
+
+import collections
+
+import numpy as np
+import pytest
+
+from kmers_tpu import DNAKmer, UnambiguousDNAMers, fx_hash
+from kmers_tpu.ops import u64
+from kmers_tpu.ops.encode import classify_2bit
+from kmers_tpu.ops.multiword import (
+    canonical_windows_mw,
+    fx_hash_mw,
+    mw_to_numpy,
+    n_limbs,
+    rc_windows_mw,
+    sort_count_mw,
+    windows_mw,
+)
+from kmers_tpu.ops.windows import window_valid_mask
+
+
+def rand_dna(rng, n, chars="ACGT"):
+    return "".join(chars[i] for i in rng.integers(0, len(chars), n))
+
+
+def codes_of(s):
+    c, certain, _ = classify_2bit(np.frombuffer(s.encode(), np.uint8))
+    return np.asarray(c), np.asarray(certain)
+
+
+class TestMultiwordWindows:
+    @pytest.mark.parametrize("K", [33, 48, 63, 64, 100])
+    def test_fw_parity(self, rng, K):
+        s = rand_dna(rng, 300)
+        codes, _ = codes_of(s)
+        limbs = windows_mw(codes, K)
+        got = mw_to_numpy(limbs)
+        want = [DNAKmer(s[i : i + K]).value for i in range(len(s) - K + 1)]
+        assert list(got) == want
+
+    @pytest.mark.parametrize("K", [33, 63])
+    def test_rc_canonical_parity(self, rng, K):
+        s = rand_dna(rng, 250)
+        codes, _ = codes_of(s)
+        ks = [DNAKmer(s[i : i + K]) for i in range(len(s) - K + 1)]
+        rc = mw_to_numpy(rc_windows_mw(codes, K))
+        assert list(rc) == [k.reverse_complement().value for k in ks]
+        canon = mw_to_numpy(canonical_windows_mw(codes, K))
+        assert list(canon) == [k.canonical().value for k in ks]
+
+    def test_small_k_consistency(self, rng):
+        # M=1 and M=2 paths agree with the (hi, lo) engine
+        from kmers_tpu.ops.windows import windows_from_codes
+
+        s = rand_dna(rng, 200)
+        codes, _ = codes_of(s)
+        for K in (9, 31):
+            limbs = windows_mw(codes, K)
+            want = u64.to_numpy(windows_from_codes(codes, K))
+            got = mw_to_numpy(limbs)
+            assert [int(x) for x in got] == [int(x) for x in want]
+
+
+class TestMultiwordHash:
+    @pytest.mark.parametrize("K", [33, 48, 63])
+    def test_parity(self, rng, K):
+        s = rand_dna(rng, 200)
+        codes, _ = codes_of(s)
+        limbs = windows_mw(codes, K)
+        h = u64.to_numpy(fx_hash_mw(limbs, K))
+        want = [
+            fx_hash(DNAKmer(s[i : i + K])) for i in range(len(s) - K + 1)
+        ]
+        assert [int(x) for x in h] == want
+
+
+class TestMultiwordCount:
+    @pytest.mark.parametrize("K", [33, 48, 63])
+    def test_count_parity(self, rng, K):
+        s = rand_dna(rng, 4000, "ACGTN")
+        codes, certain = codes_of(s)
+        limbs = canonical_windows_mw(codes, K)
+        valid = window_valid_mask(certain, K)
+        ulimbs, counts, nu = sort_count_mw(limbs, valid)
+        got = {}
+        vals = mw_to_numpy(ulimbs)
+        for v, c in zip(vals, np.asarray(counts)):
+            if c > 0:
+                got[int(v)] = int(c)
+        oracle = collections.Counter(
+            k.canonical().value for k, _ in UnambiguousDNAMers(K, s)
+        )
+        assert got == dict(oracle)
+        assert int(nu) == len(oracle)
+
+    def test_repeat_heavy(self):
+        s = "ACGTACGTA" * 100
+        K = 40
+        codes, certain = codes_of(s)
+        limbs = canonical_windows_mw(codes, K)
+        valid = window_valid_mask(certain, K)
+        ulimbs, counts, nu = sort_count_mw(limbs, valid)
+        oracle = collections.Counter(
+            k.canonical().value for k, _ in UnambiguousDNAMers(K, s)
+        )
+        assert int(np.asarray(counts).sum()) == sum(oracle.values())
+        assert int(nu) == len(oracle)
+
+    def test_n_limbs(self):
+        assert n_limbs(31) == 2 and n_limbs(33) == 3 and n_limbs(48) == 3
+        assert n_limbs(63) == 4 and n_limbs(64) == 4

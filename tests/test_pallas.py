@@ -1,0 +1,82 @@
+"""Pallas kernels vs the jnp reference ops (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from kmers_tpu.ops import u64
+from kmers_tpu.ops.encode import classify_2bit, pack_words
+from kmers_tpu.ops.windows import canonical_windows_from_codes
+from kmers_tpu.ops.pallas.window_kernel import (
+    HAVE_PALLAS,
+    canonical_windows_pallas,
+    linearize_offset_major,
+)
+
+pytestmark = pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+
+
+def _codes(rng, n):
+    s = "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    c, _, _ = classify_2bit(np.frombuffer(s.encode(), np.uint8))
+    return np.asarray(c)
+
+
+class TestCanonicalWindowKernel:
+    @pytest.mark.parametrize("K", [1, 7, 16, 31, 32])
+    def test_parity(self, rng, K):
+        codes = _codes(rng, 20000)
+        words = pack_words(codes, bps=2, pad_words=2)
+        hi, lo = canonical_windows_pallas(
+            np.asarray(words), K, W=256, interpret=True
+        )
+        n = codes.shape[0] - K + 1
+        got = u64.to_numpy(
+            (linearize_offset_major(hi, n), linearize_offset_major(lo, n))
+        )
+        want = u64.to_numpy(canonical_windows_from_codes(codes, K))
+        assert np.array_equal(got, want)
+
+    def test_non_multiple_tile(self, rng):
+        # word count not a multiple of W
+        codes = _codes(rng, 16 * 300 + 5)
+        words = pack_words(codes, bps=2, pad_words=2)
+        hi, lo = canonical_windows_pallas(
+            np.asarray(words), 31, W=128, interpret=True
+        )
+        n = codes.shape[0] - 31 + 1
+        got = u64.to_numpy(
+            (linearize_offset_major(hi, n), linearize_offset_major(lo, n))
+        )
+        want = u64.to_numpy(canonical_windows_from_codes(codes, 31))
+        assert np.array_equal(got, want)
+
+    def test_bad_k(self):
+        with pytest.raises(ValueError):
+            canonical_windows_pallas(np.zeros(64, np.uint32), 33)
+
+
+class TestMaskedKernel:
+    @pytest.mark.parametrize("K", [5, 31])
+    def test_sentinel_masking(self, rng, K):
+        from kmers_tpu.ops.pallas.window_kernel import canonical_windows_masked_pallas
+        from kmers_tpu.ops.windows import canonical_windows_from_codes, window_valid_mask
+
+        s = "".join("ACGTN"[i] for i in rng.integers(0, 5, 5000))
+        codes, certain, _ = classify_2bit(np.frombuffer(s.encode(), np.uint8))
+        hi_om, lo_om = canonical_windows_masked_pallas(
+            np.asarray(codes), np.asarray(certain), K, W=128, interpret=True
+        )
+        n = len(s) - K + 1
+        hi = np.asarray(linearize_offset_major(hi_om, n))
+        lo = np.asarray(linearize_offset_major(lo_om, n))
+        want_hi, want_lo = (
+            np.asarray(x)
+            for x in canonical_windows_from_codes(np.asarray(codes), K)
+        )
+        valid = np.asarray(window_valid_mask(np.asarray(certain), K))
+        assert np.array_equal(hi[valid], want_hi[valid])
+        assert np.array_equal(lo[valid], want_lo[valid])
+        assert (hi[~valid] == 0xFFFFFFFF).all() and (lo[~valid] == 0xFFFFFFFF).all()
+        # padding slots beyond n are sentinel too
+        flat_hi = np.asarray(hi_om).T.reshape(-1)
+        assert (flat_hi[n:] == 0xFFFFFFFF).all()

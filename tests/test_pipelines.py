@@ -1,0 +1,82 @@
+"""Extraction pipelines + batched stats vs the scalar oracle."""
+
+import numpy as np
+import pytest
+
+from kmers_tpu import (
+    CanonicalDNAMers,
+    DNAKmer,
+    EncodeError,
+    FwDNAMers,
+    SpacedDNAMers,
+    UnambiguousDNAMers,
+    fx_hash,
+)
+from kmers_tpu.ops import gc_count_u64, u64
+from kmers_tpu.ops.encode import classify_2bit
+from kmers_tpu.ops.windows import windows_from_codes
+from kmers_tpu.pipelines import extract_kmers, minimizer_select, spaced_kmers
+
+
+def rand_dna(rng, n, chars="ACGT"):
+    return "".join(chars[i] for i in rng.integers(0, len(chars), n))
+
+
+class TestExtract:
+    def test_plain(self, rng):
+        s = rand_dna(rng, 500)
+        vals, pos = extract_kmers(s, K=31)
+        want = [DNAKmer(s[i : i + 31]).value for i in range(len(s) - 30)]
+        assert vals.tolist() == want
+        assert pos.tolist() == list(range(len(want)))
+
+    def test_skipping(self, rng):
+        s = rand_dna(rng, 300, "ACGTN")
+        vals, pos = extract_kmers(s, K=9)
+        want = [(k.value, i) for k, i in UnambiguousDNAMers(9, s)]
+        assert list(zip(vals.tolist(), pos.tolist())) == want
+
+    def test_canonical(self, rng):
+        s = rand_dna(rng, 200)
+        vals, _ = extract_kmers(s, K=21, canonical=True)
+        want = [k.value for k in CanonicalDNAMers(21, s)]
+        assert vals.tolist() == want
+
+    def test_error_modes(self):
+        with pytest.raises(EncodeError):
+            extract_kmers("ACGT!ACGT", K=3)
+        with pytest.raises(EncodeError):
+            extract_kmers("ACGTNACGT", K=3, skip_ambiguous=False)
+
+    def test_spaced(self, rng):
+        s = rand_dna(rng, 300)
+        vals = spaced_kmers(s, K=9, J=4)
+        want = [k.value for k in SpacedDNAMers(9, 4, s)]
+        assert vals.tolist() == want
+
+    def test_minimizers_dedup(self, rng):
+        s = rand_dna(rng, 400)
+        K, W = 15, 10
+        vals, pos = minimizer_select(s, K=K, W=W)
+        # oracle: dedup consecutive sliding-window argmins
+        ks = [DNAKmer(s[i : i + K]).canonical() for i in range(len(s) - K + 1)]
+        hs = [fx_hash(k) for k in ks]
+        want_pos = []
+        for j in range(len(ks) - W + 1):
+            w = hs[j : j + W]
+            p = j + int(np.argmin(w))
+            if not want_pos or want_pos[-1] != p:
+                want_pos.append(p)
+        assert pos.tolist() == want_pos
+        assert vals.tolist() == [ks[p].value for p in want_pos]
+
+
+class TestStats:
+    def test_gc_vs_scalar(self, rng):
+        s = rand_dna(rng, 300)
+        K = 27
+        codes, _, _ = classify_2bit(np.frombuffer(s.encode(), np.uint8))
+        hi, lo = windows_from_codes(np.asarray(codes), K)
+        got = np.asarray(gc_count_u64(hi, lo))
+        want = [DNAKmer(s[i : i + K]).count_gc() for i in range(len(s) - K + 1)]
+        assert got.tolist() == want
