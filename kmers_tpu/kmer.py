@@ -368,12 +368,19 @@ class Kmer:
             raise TypeError(f"cannot complement kmer over {A}")
         if A.bits_per_symbol == 2:
             return Kmer.unsafe(A, self.K, self.value ^ self._mask())
-        # 4-bit: reverse the bits of each nibble
-        v, out = self.value, 0
-        for i in range(self.K):
-            nib = (v >> (4 * i)) & 0xF
-            rev = ((nib & 1) << 3) | ((nib & 2) << 1) | ((nib & 4) >> 1) | ((nib & 8) >> 3)
-            out |= rev << (4 * i)
+        if A.bits_per_symbol == 4:
+            # reverse the bits of each nibble
+            v, out = self.value, 0
+            for i in range(self.K):
+                nib = (v >> (4 * i)) & 0xF
+                rev = ((nib & 1) << 3) | ((nib & 2) << 1) | ((nib & 4) >> 1) | ((nib & 8) >> 3)
+                out |= rev << (4 * i)
+            return Kmer.unsafe(A, self.K, out)
+        # generic nucleotide fallback: re-encode symbol-wise
+        # (/root/reference/src/transformations.jl:27-30)
+        out = 0
+        for s in self:
+            out = (out << A.bits_per_symbol) | A.encode(s.complement())
         return Kmer.unsafe(A, self.K, out)
 
     def reverse_complement(self) -> "Kmer":

@@ -165,6 +165,33 @@ def canonical_count(data, K: int = 31, skip_ambiguous: bool = True):
     )
 
 
+def canonical_count_records(
+    seq_bytes, offsets, config: CountConfig = CountConfig()
+):
+    """Count canonical K-mers over a CSR record batch (e.g. from
+    :func:`kmers_tpu.io.read_fastx`): windows never span record
+    boundaries.
+
+    Records are joined with a single ``N`` separator (the ambiguity skip
+    class), so boundary-spanning windows are masked by the same mechanism
+    that skips IUPAC codes; requires ``skip_ambiguous=True``.
+    """
+    if not config.skip_ambiguous:
+        raise ValueError("record-batch counting requires skip_ambiguous=True")
+    offsets = np.asarray(offsets)
+    seq = np.asarray(seq_bytes, dtype=np.uint8)
+    n_rec = offsets.shape[0] - 1
+    if n_rec <= 1:
+        return canonical_count_bytes(seq, config)
+    joined = np.full(seq.shape[0] + n_rec - 1, ord("N"), dtype=np.uint8)
+    pos = 0
+    for i in range(n_rec):
+        r = seq[offsets[i] : offsets[i + 1]]
+        joined[pos : pos + r.shape[0]] = r
+        pos += r.shape[0] + 1
+    return canonical_count_bytes(joined, config)
+
+
 def counts_to_dict(kmers: np.ndarray, counts: np.ndarray, K: int):
     """Materialize a (kmers, counts) table as {Kmer: int} for interop/tests."""
     from ..kmer import Kmer

@@ -80,3 +80,24 @@ class TestStats:
         got = np.asarray(gc_count_u64(hi, lo))
         want = [DNAKmer(s[i : i + K]).count_gc() for i in range(len(s) - K + 1)]
         assert got.tolist() == want
+
+
+class TestRecordCounting:
+    def test_windows_dont_span_records(self, rng):
+        import collections
+        from kmers_tpu.io import read_fastx_bytes
+        from kmers_tpu.pipelines.canonical_count import (
+            CountConfig,
+            canonical_count_records,
+        )
+
+        reads = [rand_dna(rng, int(n)) for n in rng.integers(20, 80, 30)]
+        fasta = "".join(f">r{i}\n{r}\n" for i, r in enumerate(reads)).encode()
+        seq, off = read_fastx_bytes(fasta)
+        K = 15
+        kmers, counts = canonical_count_records(seq, off, CountConfig(K=K))
+        oracle = collections.Counter()
+        for r in reads:
+            for k in CanonicalDNAMers(K, r):
+                oracle[k.value] += 1
+        assert dict(zip(kmers.tolist(), counts.tolist())) == dict(oracle)
