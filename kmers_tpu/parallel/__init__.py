@@ -11,4 +11,6 @@ from .pipeline import (
     ShardedCountConfig,
     sharded_canonical_count,
     sharded_count_step,
+    exchange_and_merge,
 )
+from .sixframe import SixFrameCountConfig, sharded_sixframe_aa_count

@@ -81,6 +81,25 @@ def _device_body(shard_bytes, K: int, n_dev: int, cap: int, axis: str):
 
     # local aggregation: dense sentinel-padded (kmer, count) table
     uh, ul, cnt, _ = sort_count(hi, lo, valid)
+    uh, ul, cnt, nu, overflow = exchange_and_merge(uh, ul, cnt, n_dev, cap, axis)
+    n_invalid = jax.lax.psum(jnp.sum(invalid), axis)
+    total_overflow = jax.lax.psum(overflow, axis)
+    return (
+        uh[None],
+        ul[None],
+        cnt[None],
+        nu[None],
+        n_invalid[None],
+        total_overflow[None],
+    )
+
+
+def exchange_and_merge(uh, ul, cnt, n_dev: int, cap: int, axis: str):
+    """Route a local (kmer, count) table by FxHash prefix over all_to_all
+    and merge the received partitions.  Returns (uh, ul, cnt, n_unique,
+    overflow) — overflow counts real rows dropped for exceeding ``cap``
+    (callers must psum and fail loudly on > 0).
+    """
     sent = jnp.asarray(SENTINEL, _U32)
     is_sent = (uh == sent) & (ul == sent)
 
@@ -131,16 +150,7 @@ def _device_body(shard_bytes, K: int, n_dev: int, cap: int, axis: str):
     from ..ops.count import _run_length_encode
 
     uh, ul, cnt, nu = _run_length_encode(shi, slo, scnt2)
-    n_invalid = jax.lax.psum(jnp.sum(invalid), axis)
-    total_overflow = jax.lax.psum(overflow, axis)
-    return (
-        uh[None],
-        ul[None],
-        cnt[None],
-        nu[None],
-        n_invalid[None],
-        total_overflow[None],
-    )
+    return uh, ul, cnt, nu, overflow
 
 
 def sharded_count_step(mesh: Mesh, K: int, shard_len: int, cap: int):

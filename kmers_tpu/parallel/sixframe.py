@@ -1,0 +1,172 @@
+"""Sharded six-frame amino-acid k-mer counting (BASELINE.json config 5).
+
+Each device translates its base shard in all six reading frames (three
+forward, three on the reverse-complement strand), extracts amino-acid
+K-mer registers, counts locally, and merges tables across devices by
+FxHash prefix (the same exchange as the canonical pipeline).
+
+Sharding geometry — the part that must be exact:
+
+- shard length is a multiple of 3, so codon frames align identically on
+  every device (frame f starts at local offset f for every shard);
+- each shard carries H = 3*K_aa bases of halo on *both* sides: the right
+  halo covers forward-frame windows starting near the shard end, the
+  left halo covers reverse-strand windows (whose codons read leftward);
+- ownership: a device emits exactly the windows whose codon start
+  position (in forward coordinates for + frames, reverse-complement
+  coordinates for - frames) falls inside its body span.  Because the
+  padded global length and the halo are multiples of 3, the ownership
+  and frame masks are the same local ranges on every device, keeping the
+  SPMD body uniform.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..genetic_codes import GeneticCode, standard_genetic_code
+from ..ops.count import SENTINEL, sort_count
+from ..ops.encode import classify_2bit
+from ..ops.windows import windows_from_codes, window_valid_mask
+from .mesh import data_mesh
+from .pipeline import exchange_and_merge
+
+__all__ = ["SixFrameCountConfig", "sharded_sixframe_aa_count"]
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+@dataclasses.dataclass(frozen=True)
+class SixFrameCountConfig:
+    K: int = 7  # amino acids per kmer
+    bucket_factor: float = 2.0
+    code: GeneticCode = standard_genetic_code
+
+    def __post_init__(self):
+        if not 1 <= self.K <= 7:
+            raise ValueError(
+                "sharded AA counting supports 1 <= K <= 7 (56-bit registers)"
+            )
+
+
+def _frame_windows(codes, certain, K: int, H: int, shard: int, tbl):
+    """AA kmer windows + validity for frames 0,1,2 of one strand stream.
+
+    ``codes``/``certain`` cover [body-H, body+shard+H) in stream
+    coordinates; a window is emitted iff its codon start lies in the
+    body and all 3K bases are certain.
+    """
+    span = 3 * K
+    base_valid = window_valid_mask(certain, span)  # per base position
+    outs = []
+    for f in range(3):
+        cf = codes[f:]
+        n_aa = cf.shape[0] // 3
+        c = cf[: n_aa * 3].reshape(n_aa, 3)
+        codons = (c[:, 0] << 4) | (c[:, 1] << 2) | c[:, 2]
+        aa = jnp.take(tbl, codons.astype(_I32), axis=0).astype(_U32)
+        hi, lo = windows_from_codes(aa, K, bps=8)
+        n_win = hi.shape[0]
+        # window j starts at base position f + 3j
+        starts = f + 3 * jnp.arange(n_win, dtype=_I32)
+        v = base_valid[f::3][:n_win]
+        own = (starts >= H) & (starts < H + shard)
+        outs.append((hi, lo, v & own))
+    return outs
+
+
+def _sixframe_body(shard_bytes, K: int, n_dev: int, cap: int, axis: str, tbl):
+    data = shard_bytes[0]  # (H + shard + H,)
+    H = 3 * K
+    shard = data.shape[0] - 2 * H
+    codes, certain, _ambig = classify_2bit(data)
+
+    rc_codes = (codes ^ 3)[::-1]
+    rc_certain = certain[::-1]
+
+    frames = _frame_windows(codes, certain, K, H, shard, tbl)
+    frames += _frame_windows(rc_codes, rc_certain, K, H, shard, tbl)
+
+    hi = jnp.concatenate([f[0] for f in frames])
+    lo = jnp.concatenate([f[1] for f in frames])
+    valid = jnp.concatenate([f[2] for f in frames])
+
+    uh, ul, cnt, _ = sort_count(hi, lo, valid)
+    uh, ul, cnt, nu, overflow = exchange_and_merge(uh, ul, cnt, n_dev, cap, axis)
+    total_overflow = jax.lax.psum(overflow, axis)
+    n_windows = jax.lax.psum(jnp.sum(valid.astype(_I32)), axis)
+    return uh[None], ul[None], cnt[None], nu[None], n_windows[None], total_overflow[None]
+
+
+def sharded_sixframe_aa_count(
+    data,
+    config: SixFrameCountConfig = SixFrameCountConfig(),
+    mesh: Mesh | None = None,
+):
+    """Count amino-acid K-mers over all six reading frames of ``data``
+    across the mesh.  Ambiguous bases invalidate the windows that touch
+    them; returns (kmer_values uint64, counts int64) sorted, plus the
+    result is bit-identical for any device count.
+    """
+    if isinstance(data, str):
+        data = data.encode("ascii")
+    arr = np.frombuffer(bytes(data), dtype=np.uint8).copy()
+    if mesh is None:
+        mesh = data_mesh()
+    n_dev = mesh.devices.size
+    K = config.K
+    H = 3 * K
+    L = arr.shape[0]
+    if L < 3 * K:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+
+    # shard: multiple of 3 covering the input
+    shard = -(-L // n_dev)
+    shard += (-shard) % 3
+    padded = np.zeros(n_dev * shard + H, dtype=np.uint8)  # 0x00 = invalid
+    padded[:L] = arr
+    shards = np.zeros((n_dev, shard + 2 * H), dtype=np.uint8)
+    for d in range(n_dev):
+        lo_i = d * shard - H
+        src_lo = max(lo_i, 0)
+        dst_lo = src_lo - lo_i
+        seg = padded[src_lo : d * shard + shard + H]
+        shards[d, dst_lo : dst_lo + seg.shape[0]] = seg
+
+    n_win_per_dev = 2 * shard  # ~6 frames x shard/3
+    cap = int(np.ceil(n_win_per_dev * config.bucket_factor / n_dev))
+    tbl = jnp.asarray(np.asarray(config.code.tbl), jnp.uint8)
+    axis = mesh.axis_names[0]
+    body = partial(
+        _sixframe_body, K=K, n_dev=n_dev, cap=cap, axis=axis, tbl=tbl
+    )
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis), P(axis), P(axis)),
+    )
+    step = jax.jit(mapped)
+    sharding = NamedSharding(mesh, P(axis, None))
+    uh, ul, cnt, nu, n_windows, overflow = step(
+        jax.device_put(shards, sharding)
+    )
+    if int(np.asarray(overflow)[0]) > 0:
+        raise RuntimeError(
+            "hash-prefix bucket overflow; increase bucket_factor"
+        )
+    uh = np.asarray(uh).reshape(-1).astype(np.uint64)
+    ul = np.asarray(ul).reshape(-1).astype(np.uint64)
+    cnt = np.asarray(cnt).reshape(-1)
+    kmers = (uh << np.uint64(32)) | ul
+    keep = cnt > 0
+    kmers, cnt = kmers[keep], cnt[keep].astype(np.int64)
+    order = np.argsort(kmers, kind="stable")
+    return kmers[order], cnt[order]

@@ -110,3 +110,59 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestSixFrame:
+    @staticmethod
+    def _oracle(s, K):
+        import collections
+        from kmers_tpu import DNAKmer
+
+        counts = collections.Counter()
+        # both strands, with N preserved for validity checking
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+        strands = [s, "".join(comp[c] for c in reversed(s))]
+        for strand in strands:
+            for f in range(3):
+                sub = strand[f:]
+                n_aa = len(sub) // 3
+                for j in range(n_aa - K + 1):
+                    window = sub[3 * j : 3 * (j + K)]
+                    if "N" in window:
+                        continue
+                    aa = DNAKmer(window).translate()
+                    counts[aa.value] += 1
+        return counts
+
+    @pytest.mark.parametrize("n_dev", [1, 3, 8])
+    def test_parity(self, n_dev):
+        from kmers_tpu.parallel.sixframe import (
+            SixFrameCountConfig,
+            sharded_sixframe_aa_count,
+        )
+
+        rng = np.random.default_rng(77)
+        s = "".join("ACGTN"[i] for i in rng.integers(0, 5, 2000))
+        K = 5
+        mesh = data_mesh(n_dev)
+        kmers, counts = sharded_sixframe_aa_count(
+            s, SixFrameCountConfig(K=K), mesh
+        )
+        oracle = self._oracle(s, K)
+        assert dict(zip(kmers.tolist(), counts.tolist())) == {
+            int(k): v for k, v in oracle.items()
+        }
+
+    def test_total_window_count(self):
+        from kmers_tpu.parallel.sixframe import (
+            SixFrameCountConfig,
+            sharded_sixframe_aa_count,
+        )
+
+        rng = np.random.default_rng(3)
+        s = "".join("ACGT"[i] for i in rng.integers(0, 4, 999))
+        K = 4
+        mesh = data_mesh(4)
+        _, counts = sharded_sixframe_aa_count(s, SixFrameCountConfig(K=K), mesh)
+        want = 2 * sum((len(s) - f) // 3 - K + 1 for f in range(3))
+        assert counts.sum() == want
