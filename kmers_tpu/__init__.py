@@ -66,6 +66,22 @@ from .revtrans import (
     rev_standard_genetic_code,
     reverse_translate,
 )
+from .functions import (
+    translate,
+    complement,
+    reverse,
+    reverse_complement,
+    canonical,
+    iscanonical,
+    push,
+    push_first,
+    shift,
+    shift_first,
+    pop,
+    pop_first,
+    delete,
+)
+from .random import rand_kmer, rand_kmers, rand_symbol
 from .iterators import (
     FwKmers,
     FwDNAMers,

@@ -1,0 +1,113 @@
+"""Command-line front-end: `python -m kmers_tpu <command>`.
+
+Commands:
+  count    — canonical K-mer counting of a FASTA/FASTQ file
+  sketch   — MinHash sketch of a FASTA/FASTQ file
+  sixframe — six-frame amino-acid K-mer counting (sharded over all devices)
+  bench    — the headline throughput benchmark (same as bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load(path: str):
+    from .io import read_fastx
+
+    return read_fastx(path)
+
+
+def cmd_count(args):
+    from .pipelines.canonical_count import CountConfig, canonical_count_records
+    from .utils import save_count_table
+
+    seq, off = _load(args.input)
+    kmers, counts = canonical_count_records(
+        seq, off, CountConfig(K=args.k)
+    )
+    if args.output:
+        save_count_table(args.output, kmers, counts, K=args.k)
+        print(
+            json.dumps(
+                {"distinct": int(kmers.size), "total": int(counts.sum()),
+                 "output": args.output}
+            )
+        )
+    else:
+        top = np.argsort(counts)[::-1][: args.top]
+        for i in top:
+            from .kmer import Kmer
+            from .alphabets import DNAAlphabet2
+
+            k = Kmer.unsafe(DNAAlphabet2(), args.k, int(kmers[i]))
+            print(f"{k}\t{counts[i]}")
+        print(
+            json.dumps({"distinct": int(kmers.size), "total": int(counts.sum())}),
+            file=sys.stderr,
+        )
+
+
+def cmd_sketch(args):
+    from .pipelines.minhash import minhash_sketch
+
+    seq, off = _load(args.input)
+    # join records with N so windows don't span them
+    parts = [bytes(seq[off[i] : off[i + 1]]) for i in range(off.size - 1)]
+    sk = minhash_sketch(b"N".join(parts), K=args.k, s=args.size)
+    for h in sk:
+        print(f"{int(h):016x}")
+
+
+def cmd_sixframe(args):
+    from .parallel import SixFrameCountConfig, sharded_sixframe_aa_count
+
+    seq, off = _load(args.input)
+    parts = [bytes(seq[off[i] : off[i + 1]]) for i in range(off.size - 1)]
+    kmers, counts = sharded_sixframe_aa_count(
+        b"N".join(parts), SixFrameCountConfig(K=args.k)
+    )
+    print(json.dumps({"distinct": int(kmers.size), "total": int(counts.sum())}))
+
+
+def cmd_bench(args):
+    import bench  # repo-root bench.py when run from the repo
+
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="kmers_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("count", help="canonical K-mer counting")
+    c.add_argument("input")
+    c.add_argument("-k", type=int, default=31)
+    c.add_argument("-o", "--output", help="count-table checkpoint directory")
+    c.add_argument("--top", type=int, default=10, help="print N most frequent")
+    c.set_defaults(fn=cmd_count)
+
+    s = sub.add_parser("sketch", help="MinHash sketch")
+    s.add_argument("input")
+    s.add_argument("-k", type=int, default=16)
+    s.add_argument("-s", "--size", type=int, default=1000)
+    s.set_defaults(fn=cmd_sketch)
+
+    f = sub.add_parser("sixframe", help="six-frame AA kmer counting")
+    f.add_argument("input")
+    f.add_argument("-k", type=int, default=7)
+    f.set_defaults(fn=cmd_sixframe)
+
+    b = sub.add_parser("bench", help="headline throughput benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

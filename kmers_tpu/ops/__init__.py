@@ -30,3 +30,12 @@ from .translate_ops import (
     aa_kmer_windows,
     six_frame_aa_kmers,
 )
+from .revtrans_ops import reverse_translate_codes, codon_set_table
+from .multiword import (
+    windows_mw,
+    rc_windows_mw,
+    canonical_windows_mw,
+    sort_count_mw,
+    fx_hash_mw,
+    n_limbs,
+)

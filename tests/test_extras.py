@@ -109,3 +109,46 @@ class TestUtils:
             want[k] += c
         assert dict(zip(kmers.tolist(), counts.tolist())) == dict(want)
         assert np.array_equal(np.sort(kmers), kmers)
+
+
+class TestModuleFunctions:
+    def test_verbs(self):
+        from kmers_tpu import (
+            mer, translate, complement, reverse_complement, canonical,
+            iscanonical, push, shift, pop, delete, CodonSet, reverse,
+        )
+
+        k = mer("TAGC", "d")
+        assert str(complement(k)) == "ATCG"
+        assert str(reverse(k)) == "CGAT"
+        assert reverse_complement(k) == k.reverse_complement()
+        assert canonical(k) == k.canonical()
+        assert iscanonical(canonical(k))
+        assert str(push(k, "A")) == "TAGCA"
+        assert str(shift(k, "A")) == "AGCA"
+        assert str(pop(k)) == "TAG"
+        assert str(translate(mer("AUGCCG", "r"))) == "MP"
+        cs = CodonSet([mer("UAG", "r"), mer("GGA", "r")])
+        assert set(delete(cs, mer("UAG", "r"))) == {mer("GGA", "r")}
+
+
+class TestBatchedRevtrans:
+    def test_parity(self, rng):
+        import numpy as np
+        from kmers_tpu import AAKmer, reverse_translate
+        from kmers_tpu.ops import reverse_translate_codes, u64
+
+        s = "ARNDCQEGHILKMFPSTWYVOUBJZX*"
+        codes = np.array([AAKmer(c).value for c in s], dtype=np.uint8)
+        hi, lo = reverse_translate_codes(codes)
+        masks = u64.to_numpy((hi, lo))
+        want = [reverse_translate(c).x for c in s]
+        assert [int(m) for m in masks] == want
+
+    def test_gap_raises(self):
+        import numpy as np
+        import pytest as pt
+        from kmers_tpu.ops import reverse_translate_codes
+
+        with pt.raises(ValueError):
+            reverse_translate_codes(np.array([27], dtype=np.uint8))
