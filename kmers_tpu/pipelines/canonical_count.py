@@ -132,13 +132,23 @@ def canonical_count_bytes(data, config: CountConfig = CountConfig()):
     use_pallas = (
         _on_tpu() if config.use_pallas is None else config.use_pallas
     )
-    for start in range(0, max(L - K + 1, 1), step):
+    starts = list(range(0, max(L - K + 1, 1), step))
+    for start in starts:
         chunk = arr[start : start + config.chunk_size]
+        pad = 0
+        if len(starts) > 1 and chunk.shape[0] < config.chunk_size:
+            # pad the tail chunk to the uniform shape with 'N' (the skip
+            # class) so every dispatch reuses one compiled executable;
+            # the padding's ambiguity count is discounted below
+            pad = config.chunk_size - chunk.shape[0]
+            chunk = np.concatenate(
+                [chunk, np.full(pad, ord("N"), np.uint8)]
+            )
         uh, ul, cnt, nu, n_inv, n_amb = _chunk_count(
             jnp.asarray(chunk), K, use_pallas
         )
         total_invalid += int(n_inv)
-        total_ambig += int(n_amb)
+        total_ambig += int(n_amb) - pad
         if acc is None:
             acc = (uh, ul, cnt)
         else:

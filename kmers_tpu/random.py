@@ -105,3 +105,53 @@ def rand_kmers(alphabet, K: int, n: int, rng=None) -> np.ndarray:
         )
         out = (out << np.uint64(bps)) | enc
     return out
+
+
+def rand_kmers_device(key, alphabet, K: int, n: int):
+    """Device-side batch of random K-mer registers as a (hi, lo) uint32
+    pair, using ``jax.random`` — for generating test/benchmark workloads
+    directly in HBM without a host round-trip.
+
+    Same distribution rules as :func:`rand_kmers` for the supported
+    alphabets (2-bit raw bits; 4-bit one-hot; amino acids proteogenic).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if not isinstance(alphabet, Alphabet):
+        alphabet = alphabet()
+    bps = alphabet.bits_per_symbol
+    bits = K * bps
+    if bits > 64:
+        raise NotImplementedError("rand_kmers_device supports K*bps <= 64")
+    if isinstance(alphabet, (DNAAlphabet2, RNAAlphabet2)):
+        hi = jax.random.bits(jax.random.fold_in(key, 0), (n,), jnp.uint32)
+        lo = jax.random.bits(jax.random.fold_in(key, 1), (n,), jnp.uint32)
+        if bits <= 32:
+            return jnp.zeros(n, jnp.uint32), lo & ((1 << bits) - 1)
+        return hi & ((1 << (bits - 32)) - 1), lo
+    if isinstance(alphabet, (DNAAlphabet4, RNAAlphabet4)):
+        two = jax.random.randint(key, (n, K), 0, 4, jnp.uint32)
+        nib = jnp.left_shift(jnp.uint32(1), two)
+        vals = nib
+    elif isinstance(alphabet, AminoAcidAlphabet):
+        tbl = jnp.asarray(PROTEOGENIC_AA.astype(np.uint32))
+        vals = jnp.take(
+            tbl, jax.random.randint(key, (n, K), 0, 20, jnp.int32), axis=0
+        )
+    else:
+        raise NotImplementedError(
+            "device-side sampling supports nucleotide and AA alphabets"
+        )
+    hi = jnp.zeros(n, jnp.uint32)
+    lo = jnp.zeros(n, jnp.uint32)
+    for i in range(K):
+        # shift the register left by bps and OR the next encoding in
+        hi = (hi << bps) | (lo >> (32 - bps))
+        lo = (lo << bps) | vals[:, i]
+    if bits > 32:
+        hi = hi & jnp.uint32((1 << (bits - 32)) - 1)
+    else:
+        hi = jnp.zeros_like(hi)
+        lo = lo & jnp.uint32((1 << bits) - 1)
+    return hi, lo

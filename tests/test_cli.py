@@ -1,0 +1,56 @@
+"""CLI front-end smoke tests."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fasta(tmp_path_factory):
+    rng = np.random.default_rng(1)
+    p = tmp_path_factory.mktemp("cli") / "reads.fa"
+    reads = [
+        "".join("ACGT"[i] for i in rng.integers(0, 4, 120)) for _ in range(8)
+    ]
+    p.write_text("".join(f">r{i}\n{r}\n" for i, r in enumerate(reads)))
+    return p
+
+
+def run_cli(*args):
+    # in-process to inherit the CPU-forced test backend
+    from kmers_tpu.__main__ import main
+
+    main([str(a) for a in args])
+
+
+def test_count(fasta, capsys):
+    run_cli("count", fasta, "-k", "15", "--top", "2")
+    out = capsys.readouterr()
+    assert len(out.out.strip().splitlines()) == 2
+    stats = json.loads(out.err.strip().splitlines()[-1])
+    assert stats["total"] == 8 * (120 - 15 + 1)
+
+
+def test_count_checkpoint(fasta, tmp_path, capsys):
+    run_cli("count", fasta, "-k", "15", "-o", tmp_path / "tbl")
+    out = json.loads(capsys.readouterr().out.strip())
+    from kmers_tpu.utils import load_count_table
+
+    kmers, counts, K = load_count_table(tmp_path / "tbl")
+    assert K == 15 and counts.sum() == out["total"]
+
+
+def test_sketch(fasta, capsys):
+    run_cli("sketch", fasta, "-k", "11", "-s", "20")
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 20
+    assert all(len(l) == 16 for l in lines)
+
+
+def test_sixframe(fasta, capsys):
+    run_cli("sixframe", fasta, "-k", "4")
+    stats = json.loads(capsys.readouterr().out.strip())
+    assert stats["total"] > 0

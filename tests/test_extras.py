@@ -152,3 +152,34 @@ class TestBatchedRevtrans:
 
         with pt.raises(ValueError):
             reverse_translate_codes(np.array([27], dtype=np.uint8))
+
+
+class TestDeviceRandom:
+    def test_device_sampling(self, rng):
+        import jax
+        import numpy as np
+        from kmers_tpu import AminoAcidAlphabet, DNAAlphabet2, DNAAlphabet4, Kmer
+        from kmers_tpu.random import PROTEOGENIC_AA, rand_kmers_device
+        from kmers_tpu.ops import u64
+
+        key = jax.random.PRNGKey(0)
+        hi, lo = rand_kmers_device(key, DNAAlphabet2(), 31, 500)
+        vals = u64.to_numpy((hi, lo))
+        assert (vals < (1 << 62)).all()
+        assert len(set(vals.tolist())) > 490  # essentially all distinct
+
+        hi, lo = rand_kmers_device(key, DNAAlphabet4(), 12, 100)
+        for v in u64.to_numpy((hi, lo))[:20]:
+            k = Kmer.unsafe(DNAAlphabet4(), 12, int(v))
+            assert all(s.iscertain for s in k)
+
+        hi, lo = rand_kmers_device(key, AminoAcidAlphabet(), 7, 100)
+        allowed = set(int(c) for c in PROTEOGENIC_AA)
+        for v in u64.to_numpy((hi, lo))[:20]:
+            k = Kmer.unsafe(AminoAcidAlphabet(), 7, int(v))
+            assert all(k.extract_encoded_element(i) in allowed for i in range(7))
+
+        # small K path (bits <= 32)
+        hi, lo = rand_kmers_device(key, DNAAlphabet2(), 9, 50)
+        assert (np.asarray(hi) == 0).all()
+        assert (np.asarray(lo) < (1 << 18)).all()
