@@ -81,7 +81,7 @@ from .functions import (
     pop_first,
     delete,
 )
-from .random import rand_kmer, rand_kmers, rand_symbol
+from .random import rand_kmer, rand_kmers, rand_kmers_device, rand_symbol
 from .iterators import (
     FwKmers,
     FwDNAMers,

@@ -53,31 +53,59 @@ def cmd_count(args):
 
 
 def cmd_sketch(args):
+    from .pipelines.canonical_count import join_records_with_n
     from .pipelines.minhash import minhash_sketch
 
     seq, off = _load(args.input)
-    # join records with N so windows don't span them
-    parts = [bytes(seq[off[i] : off[i + 1]]) for i in range(off.size - 1)]
-    sk = minhash_sketch(b"N".join(parts), K=args.k, s=args.size)
+    sk = minhash_sketch(
+        join_records_with_n(seq, off).tobytes(), K=args.k, s=args.size
+    )
     for h in sk:
         print(f"{int(h):016x}")
 
 
 def cmd_sixframe(args):
     from .parallel import SixFrameCountConfig, sharded_sixframe_aa_count
+    from .pipelines.canonical_count import join_records_with_n
 
     seq, off = _load(args.input)
-    parts = [bytes(seq[off[i] : off[i + 1]]) for i in range(off.size - 1)]
     kmers, counts = sharded_sixframe_aa_count(
-        b"N".join(parts), SixFrameCountConfig(K=args.k)
+        join_records_with_n(seq, off).tobytes(), SixFrameCountConfig(K=args.k)
     )
     print(json.dumps({"distinct": int(kmers.size), "total": int(counts.sum())}))
 
 
 def cmd_bench(args):
-    import bench  # repo-root bench.py when run from the repo
+    # self-contained (works from any cwd / installed package)
+    import time
 
-    bench.main()
+    import jax
+
+    from .pipelines.canonical_count import _chunk_count
+
+    K, L = 31, 1 << 26
+    rng = np.random.default_rng(0)
+    data = jax.device_put(
+        np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, L)]
+    )
+    use_pallas = jax.default_backend() != "cpu"
+    out = _chunk_count(data, K, use_pallas)
+    int(np.asarray(out[3]))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = _chunk_count(data, K, use_pallas)
+        int(np.asarray(out[3]))
+    dt = (time.perf_counter() - t0) / 3
+    print(
+        json.dumps(
+            {
+                "metric": "canonical_31mer_count_bases_per_sec_per_chip",
+                "value": round(L / dt),
+                "unit": "bases/sec",
+                "vs_baseline": round(L / dt / 5.0e7, 3),
+            }
+        )
+    )
 
 
 def main(argv=None):

@@ -8,7 +8,7 @@ Useful for motif-search back-translation over large protein batches.
 
 from __future__ import annotations
 
-from functools import partial
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -21,8 +21,13 @@ __all__ = ["reverse_translate_codes", "codon_set_table"]
 _U32 = jnp.uint32
 
 
+@functools.lru_cache(maxsize=None)
 def codon_set_table(code: ReverseGeneticCode = rev_standard_genetic_code):
-    """(hi, lo) uint32[27] tables of the code's CodonSet masks."""
+    """(hi, lo) uint32[27] tables of the code's CodonSet masks.
+
+    Cached per code (codes are immutable), so batch loops pay the table
+    construction and host->device upload once.
+    """
     masks = np.array([s.x for s in code.sets], dtype=np.uint64)
     return (
         jnp.asarray((masks >> np.uint64(32)).astype(np.uint32)),
@@ -45,7 +50,7 @@ def reverse_translate_codes(
     scalar path.
     """
     arr = np.asarray(aa_codes)
-    if (arr > 26).any():
-        raise ValueError("Cannot reverse translate element: gap")
+    if ((arr.astype(np.int64) < 0) | (arr.astype(np.int64) > 26)).any():
+        raise ValueError("Cannot reverse translate element: gap/out-of-range")
     tbl_hi, tbl_lo = codon_set_table(code)
     return _gather_sets(arr, tbl_hi, tbl_lo)

@@ -118,6 +118,10 @@ def canonical_count_bytes(data, config: CountConfig = CountConfig()):
     """
     arr = _as_byte_array(data)
     K = config.K
+    if config.chunk_size < K:
+        raise ValueError(
+            f"chunk_size ({config.chunk_size}) must be >= K ({K})"
+        )
     L = arr.shape[0]
     if L < K:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
@@ -175,31 +179,38 @@ def canonical_count(data, K: int = 31, skip_ambiguous: bool = True):
     )
 
 
-def canonical_count_records(
-    seq_bytes, offsets, config: CountConfig = CountConfig()
-):
-    """Count canonical K-mers over a CSR record batch (e.g. from
-    :func:`kmers_tpu.io.read_fastx`): windows never span record
-    boundaries.
+def join_records_with_n(seq_bytes, offsets) -> np.ndarray:
+    """Join CSR records with single ``N`` separators.
 
-    Records are joined with a single ``N`` separator (the ambiguity skip
-    class), so boundary-spanning windows are masked by the same mechanism
-    that skips IUPAC codes; requires ``skip_ambiguous=True``.
+    The shared boundary-handling primitive: an ``N`` classifies as the
+    ambiguity skip class, so windows can never span records in any
+    skip-ambiguous pipeline (counting, sketching, six-frame).
     """
-    if not config.skip_ambiguous:
-        raise ValueError("record-batch counting requires skip_ambiguous=True")
     offsets = np.asarray(offsets)
     seq = np.asarray(seq_bytes, dtype=np.uint8)
     n_rec = offsets.shape[0] - 1
     if n_rec <= 1:
-        return canonical_count_bytes(seq, config)
+        return seq
     joined = np.full(seq.shape[0] + n_rec - 1, ord("N"), dtype=np.uint8)
     pos = 0
     for i in range(n_rec):
         r = seq[offsets[i] : offsets[i + 1]]
         joined[pos : pos + r.shape[0]] = r
         pos += r.shape[0] + 1
-    return canonical_count_bytes(joined, config)
+    return joined
+
+
+def canonical_count_records(
+    seq_bytes, offsets, config: CountConfig = CountConfig()
+):
+    """Count canonical K-mers over a CSR record batch (e.g. from
+    :func:`kmers_tpu.io.read_fastx`): windows never span record
+    boundaries (see :func:`join_records_with_n`); requires
+    ``skip_ambiguous=True``.
+    """
+    if not config.skip_ambiguous:
+        raise ValueError("record-batch counting requires skip_ambiguous=True")
+    return canonical_count_bytes(join_records_with_n(seq_bytes, offsets), config)
 
 
 def counts_to_dict(kmers: np.ndarray, counts: np.ndarray, K: int):

@@ -27,6 +27,14 @@ __all__ = ["minhash_sketch", "jaccard"]
 
 @partial(jax.jit, static_argnames=("K", "prefix"))
 def _sketch_chunk(bytes_u8, K: int, prefix: int):
+    """Bottom-``prefix`` hashes by partial selection.
+
+    ``top_k`` on the negated high hash word is O(n log k) — far cheaper
+    than a full sort at sketch sizes.  The low words of the selected
+    candidates are recovered with a k-sized gather; ties on the 32-bit
+    boundary are resolved by the host-side dedup over the 4x-oversized
+    prefix (widened further by the caller if pathological).
+    """
     codes, certain, ambig = classify_2bit(bytes_u8)
     invalid = ~(certain | ambig)
     hi, lo = canonical_windows_from_codes(codes, K)
@@ -35,8 +43,16 @@ def _sketch_chunk(bytes_u8, K: int, prefix: int):
     sent = jnp.asarray(SENTINEL, jnp.uint32)
     hh = jnp.where(valid, hh, sent)
     hl = jnp.where(valid, hl, sent)
-    shh, shl = jax.lax.sort((hh, hl), num_keys=2)
-    return shh[:prefix], shl[:prefix], jnp.sum(invalid)
+    # select the smallest `prefix` by (hh, hl): top_k over the bitwise
+    # complement of hh, tie-broken by a second top_k pass within the
+    # candidate set (prefix is small, so the second pass is cheap)
+    neg_hh = ~hh
+    _, idx = jax.lax.top_k(neg_hh, prefix)
+    cand_hh = jnp.take(hh, idx)
+    cand_hl = jnp.take(hl, idx)
+    shh, shl = jax.lax.sort((cand_hh, cand_hl), num_keys=2)
+    boundary = jnp.max(cand_hh)  # elements beyond the prefix have hh >= this
+    return shh, shl, jnp.sum(invalid), boundary
 
 
 def minhash_sketch(data, K: int = 16, s: int = 1000, skip_ambiguous: bool = True):
@@ -49,24 +65,32 @@ def minhash_sketch(data, K: int = 16, s: int = 1000, skip_ambiguous: bool = True
     arr = np.frombuffer(bytes(data), dtype=np.uint8)
     if arr.size < K:
         return np.zeros(0, np.uint64)
-    prefix = min(max(4 * s, 64), max(arr.size - K + 1, 1))
-    hh, hl, n_invalid = _sketch_chunk(jnp.asarray(arr), K, prefix)
-    if int(n_invalid) and not skip_ambiguous:
-        raise EncodeError(DNAAlphabet2(), "<batch input>")
-    h = (np.asarray(hh).astype(np.uint64) << np.uint64(32)) | np.asarray(
-        hl
-    ).astype(np.uint64)
-    h = np.unique(h)  # sorted + distinct
-    h = h[h != np.uint64(0xFFFFFFFFFFFFFFFF)]
-    if h.size < s and prefix < arr.size - K + 1:
-        # pathological duplication: widen to the exact full path
-        prefix = arr.size - K + 1
-        hh, hl, _ = _sketch_chunk(jnp.asarray(arr), K, prefix)
+    n_windows = arr.size - K + 1
+
+    def run(prefix):
+        hh, hl, n_invalid, boundary = _sketch_chunk(
+            jnp.asarray(arr), K, prefix
+        )
+        if int(n_invalid) and not skip_ambiguous:
+            raise EncodeError(DNAAlphabet2(), "<batch input>")
         h = (np.asarray(hh).astype(np.uint64) << np.uint64(32)) | np.asarray(
             hl
         ).astype(np.uint64)
-        h = np.unique(h)
+        h = np.unique(h)  # sorted + distinct
         h = h[h != np.uint64(0xFFFFFFFFFFFFFFFF)]
+        return h, int(boundary)
+
+    prefix = min(max(4 * s, 64), max(n_windows, 1))
+    h, boundary = run(prefix)
+    exact = (
+        # enough distinct values, and the s-th is strictly inside the
+        # selected hh range (no boundary tie could change the sketch)
+        h.size >= s
+        and (int(h[s - 1]) >> 32) < boundary
+    ) or prefix >= n_windows
+    if not exact:
+        # duplication/boundary-tie: fall back to the exact full selection
+        h, _ = run(n_windows)
     return h[:s]
 
 

@@ -27,7 +27,7 @@ from .alphabets import (
 )
 from .kmer import Kmer
 
-__all__ = ["rand_kmer", "rand_kmers", "rand_symbol"]
+__all__ = ["rand_kmer", "rand_kmers", "rand_kmers_device", "rand_symbol"]
 
 #: encodings of the 20 proteogenic amino acids (ACDEFGHIKLMNPQRSTVWY),
 #: mirroring PROTEOGENIC_AA_ENCODINGS (/root/reference/ext/RandomExt.jl:28-34)

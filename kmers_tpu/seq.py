@@ -152,6 +152,15 @@ class Seq:
     def reverse_complement(self) -> "Seq":
         return self.complement().reverse()
 
+    def canonical(self) -> "Seq":
+        """Lexicographically smaller of self and its reverse complement
+        (symbol order == encoding order for the standard alphabets)."""
+        rc = self.reverse_complement()
+        return self if self.codes.tobytes() <= rc.codes.tobytes() else rc
+
+    def iscanonical(self) -> bool:
+        return self.codes.tobytes() <= self.reverse_complement().codes.tobytes()
+
     def translate(
         self,
         code=standard_genetic_code,

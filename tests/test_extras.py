@@ -183,3 +183,15 @@ class TestDeviceRandom:
         hi, lo = rand_kmers_device(key, DNAAlphabet2(), 9, 50)
         assert (np.asarray(hi) == 0).all()
         assert (np.asarray(lo) < (1 << 18)).all()
+
+
+class TestSeqCanonical:
+    def test_canonical(self, rng):
+        from kmers_tpu import Seq, DNAAlphabet2, DNAKmer, canonical, iscanonical
+
+        for _ in range(10):
+            s = "".join("ACGT"[i] for i in rng.integers(0, 4, 23))
+            seq = Seq(DNAAlphabet2(), s)
+            want = DNAKmer(s).canonical()
+            assert str(canonical(seq)) == str(want)
+            assert iscanonical(canonical(seq))

@@ -27,10 +27,17 @@ def main():
     rng = np.random.default_rng(0)
     data = bytes(np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, L)])
 
-    results = []
-    base = None
+    sizes = []
     n = 1
     while n <= n_avail:
+        sizes.append(n)
+        n *= 2
+    if sizes[-1] != n_avail:
+        sizes.append(n_avail)  # always measure the full slice
+
+    results = []
+    base = None
+    for n in sizes:
         mesh = data_mesh(n)
         cfg = ShardedCountConfig(K=31)
         sharded_canonical_count(data, cfg, mesh)  # compile + warmup
@@ -45,7 +52,6 @@ def main():
         results.append(
             {"devices": n, "bases_per_sec": round(tput), "efficiency": round(eff, 3)}
         )
-        n *= 2
     print(json.dumps(results))
 
 
