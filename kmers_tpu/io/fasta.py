@@ -46,7 +46,13 @@ def _load_native():
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO_PATH.exists() and not _build_native():
+    src = _NATIVE_DIR / "fastx.cpp"
+    stale = (
+        _SO_PATH.exists()
+        and src.exists()
+        and src.stat().st_mtime > _SO_PATH.stat().st_mtime
+    )
+    if (not _SO_PATH.exists() or stale) and not _build_native():
         _lib = False
         return _lib
     try:
@@ -63,6 +69,17 @@ def _load_native():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.merge_count_tables.restype = ctypes.c_int64
+        lib.merge_count_tables.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64),
             ctypes.POINTER(ctypes.c_int64),
         ]
         _lib = lib
@@ -164,3 +181,33 @@ def read_fastx(path, use_native: bool | None = None):
     """Read and parse a FASTA/FASTQ file (see :func:`read_fastx_bytes`)."""
     with open(path, "rb") as f:
         return read_fastx_bytes(f.read(), use_native=use_native)
+
+
+def merge_count_tables_native(k1, c1, k2, c2):
+    """Merge two sorted (kmer uint64, count int64) tables, summing
+    duplicates — native two-pointer merge with numpy fallback."""
+    k1 = np.ascontiguousarray(k1, dtype=np.uint64)
+    c1 = np.ascontiguousarray(c1, dtype=np.int64)
+    k2 = np.ascontiguousarray(k2, dtype=np.uint64)
+    c2 = np.ascontiguousarray(c2, dtype=np.int64)
+    lib = _load_native()
+    if lib:
+        ko = np.empty(k1.size + k2.size, dtype=np.uint64)
+        co = np.empty(k1.size + k2.size, dtype=np.int64)
+        n = lib.merge_count_tables(
+            k1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            c1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            k1.size,
+            k2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            c2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            k2.size,
+            ko.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            co.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return ko[:n].copy(), co[:n].copy()
+    kmers = np.concatenate([k1, k2])
+    counts = np.concatenate([c1, c2])
+    uniq, inv = np.unique(kmers, return_inverse=True)
+    summed = np.zeros(uniq.size, np.int64)
+    np.add.at(summed, inv, counts)
+    return uniq, summed

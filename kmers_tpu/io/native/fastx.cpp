@@ -106,4 +106,36 @@ int fastx_scan(const uint8_t* buf, int64_t len, uint8_t* seq_out,
   return 0;
 }
 
+// Two-pointer merge of sorted (kmer, count) tables — the host-side
+// reduction for multi-epoch / multi-partition checkpoint merging, where
+// numpy's unique+scatter would allocate several table-sized temporaries.
+// Inputs must be sorted by kmer; duplicate kmers across inputs sum.
+// Returns the merged length (<= n1 + n2).
+int64_t merge_count_tables(const uint64_t* k1, const int64_t* c1, int64_t n1,
+                           const uint64_t* k2, const int64_t* c2, int64_t n2,
+                           uint64_t* k_out, int64_t* c_out) {
+  int64_t i = 0, j = 0, w = 0;
+  while (i < n1 && j < n2) {
+    if (k1[i] < k2[j]) {
+      k_out[w] = k1[i];
+      c_out[w++] = c1[i++];
+    } else if (k2[j] < k1[i]) {
+      k_out[w] = k2[j];
+      c_out[w++] = c2[j++];
+    } else {
+      k_out[w] = k1[i];
+      c_out[w++] = c1[i++] + c2[j++];
+    }
+  }
+  while (i < n1) {
+    k_out[w] = k1[i];
+    c_out[w++] = c1[i++];
+  }
+  while (j < n2) {
+    k_out[w] = k2[j];
+    c_out[w++] = c2[j++];
+  }
+  return w;
+}
+
 }  // extern "C"

@@ -48,15 +48,16 @@ def load_count_table(directory):
         with np.load(p) as z:
             ks.append(z["kmers"])
             cs.append(z["counts"])
-    kmers = np.concatenate(ks) if ks else np.zeros(0, np.uint64)
-    counts = np.concatenate(cs) if cs else np.zeros(0, np.int64)
-    order = np.argsort(kmers, kind="stable")
-    kmers, counts = kmers[order], counts[order]
-    # merge duplicate kmers across partitions (same key may appear when
-    # partitions came from different streaming epochs)
-    if kmers.size:
-        uniq, inv = np.unique(kmers, return_inverse=True)
-        summed = np.zeros(uniq.size, np.int64)
-        np.add.at(summed, inv, counts)
-        kmers, counts = uniq, summed
+    # pairwise-merge partitions (duplicate kmers across streaming epochs
+    # sum); the native two-pointer merge avoids numpy's unique+scatter
+    # temporaries on large tables
+    from ..io.fasta import merge_count_tables_native
+
+    kmers = np.zeros(0, np.uint64)
+    counts = np.zeros(0, np.int64)
+    for k, c in zip(ks, cs):
+        order = np.argsort(k, kind="stable")
+        kmers, counts = merge_count_tables_native(
+            kmers, counts, k[order], c[order]
+        )
     return kmers, counts, manifest["K"]

@@ -77,3 +77,32 @@ class TestFasta:
     def test_empty(self):
         seq, off = read_fastx_bytes(b"")
         assert seq.size == 0 and list(off) == [0]
+
+
+class TestNativeMerge:
+    def test_vs_numpy(self, rng):
+        from kmers_tpu.io.fasta import merge_count_tables_native
+
+        k1 = np.unique(rng.integers(0, 1000, 200, dtype=np.uint64))
+        c1 = rng.integers(1, 9, k1.size).astype(np.int64)
+        k2 = np.unique(rng.integers(0, 1000, 150, dtype=np.uint64))
+        c2 = rng.integers(1, 9, k2.size).astype(np.int64)
+        km, cm = merge_count_tables_native(k1, c1, k2, c2)
+        import collections
+
+        want = collections.Counter()
+        for k, c in zip(k1.tolist(), c1.tolist()):
+            want[k] += c
+        for k, c in zip(k2.tolist(), c2.tolist()):
+            want[k] += c
+        assert dict(zip(km.tolist(), cm.tolist())) == dict(want)
+        assert np.array_equal(np.sort(km), km)
+
+    def test_empty(self):
+        from kmers_tpu.io.fasta import merge_count_tables_native
+
+        k, c = merge_count_tables_native(
+            np.zeros(0, np.uint64), np.zeros(0, np.int64),
+            np.array([5], np.uint64), np.array([2], np.int64),
+        )
+        assert k.tolist() == [5] and c.tolist() == [2]
