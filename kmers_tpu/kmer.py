@@ -103,6 +103,10 @@ class Kmer:
     def __setattr__(self, *_):
         raise AttributeError("Kmer is immutable")
 
+    def __reduce__(self):
+        # immutable __slots__ type: reconstruct via the unsafe constructor
+        return (Kmer.unsafe, (self.alphabet, self.K, self.value))
+
     @classmethod
     def unsafe(cls, alphabet, K: int, value: int) -> "Kmer":
         """Wrap a pre-validated register value (reference's inner constructor)."""

@@ -61,9 +61,9 @@ class CountConfig:
     use_pallas: bool | None = None
 
     def __post_init__(self):
-        if not 1 <= self.K <= 31:
+        if not 1 <= self.K <= 100:
             raise ValueError(
-                "array-plane canonical counting supports 1 <= K <= 31"
+                "array-plane canonical counting supports 1 <= K <= 100"
             )
 
 
@@ -112,10 +112,13 @@ def _as_byte_array(data) -> np.ndarray:
 def canonical_count_bytes(data, config: CountConfig = CountConfig()):
     """Count canonical K-mers of an ASCII nucleotide buffer.
 
-    Returns ``(kmers, counts)``: ``kmers`` is a sorted np.uint64 array of
-    canonical kmer register values (compare with
-    ``Kmer.canonical().value``), ``counts`` the matching multiplicities.
+    Returns ``(kmers, counts)``: for K <= 31, ``kmers`` is a sorted
+    np.uint64 array of canonical kmer register values (compare with
+    ``Kmer.canonical().value``); for K > 31 it is a sorted object array
+    of Python-int register values (multi-limb registers).
     """
+    if config.K > 31:
+        return _canonical_count_multiword(data, config)
     arr = _as_byte_array(data)
     K = config.K
     if config.chunk_size < K:
@@ -170,6 +173,59 @@ def canonical_count_bytes(data, config: CountConfig = CountConfig()):
     kmers = (uh.astype(np.uint64) << np.uint64(32)) | ul.astype(np.uint64)
     keep = cnt > 0
     return kmers[keep], cnt[keep].astype(np.int64)
+
+
+def _canonical_count_multiword(data, config: CountConfig):
+    """K > 31: multi-limb registers (ops.multiword), single dispatch per
+    chunk, host-side merge of chunk tables by Python-int kmer value."""
+    import collections
+
+    from ..ops.multiword import (
+        canonical_windows_mw,
+        mw_to_numpy,
+        sort_count_mw,
+    )
+    from ..ops.windows import window_valid_mask
+
+    arr = _as_byte_array(data)
+    K = config.K
+    if config.chunk_size < K:
+        raise ValueError("chunk_size must be >= K")
+    L = arr.shape[0]
+    if L < K:
+        return np.zeros(0, object), np.zeros(0, np.int64)
+
+    @partial(jax.jit, static_argnames=("K",))
+    def chunk_fn(bytes_u8, K):
+        codes, certain, ambig = classify_2bit(bytes_u8)
+        invalid = ~(certain | ambig)
+        limbs = canonical_windows_mw(codes, K)
+        valid = window_valid_mask(certain, K)
+        ulimbs, counts, nu = sort_count_mw(limbs, valid)
+        return ulimbs, counts, nu, jnp.sum(invalid), jnp.sum(ambig)
+
+    step = max(config.chunk_size - (K - 1), K)
+    totals: collections.Counter = collections.Counter()
+    total_invalid = 0
+    total_ambig = 0
+    for start in range(0, max(L - K + 1, 1), step):
+        chunk = arr[start : start + config.chunk_size]
+        ulimbs, counts, nu, n_inv, n_amb = chunk_fn(jnp.asarray(chunk), K)
+        total_invalid += int(n_inv)
+        total_ambig += int(n_amb)
+        cnt = np.asarray(counts)
+        keep = cnt > 0
+        vals = mw_to_numpy(tuple(np.asarray(x)[keep] for x in ulimbs))
+        for v, c in zip(vals, cnt[keep]):
+            totals[int(v)] += int(c)
+    if total_invalid:
+        raise EncodeError(DNAAlphabet2(), "<batch input>")
+    if total_ambig and not config.skip_ambiguous:
+        raise EncodeError(DNAAlphabet2(), "<ambiguous base>")
+    items = sorted(totals.items())
+    kmers = np.array([k for k, _ in items], dtype=object)
+    counts = np.array([c for _, c in items], dtype=np.int64)
+    return kmers, counts
 
 
 def canonical_count(data, K: int = 31, skip_ambiguous: bool = True):

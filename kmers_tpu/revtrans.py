@@ -51,6 +51,9 @@ class CodonSet:
     def __setattr__(self, *_):
         raise AttributeError("CodonSet is immutable")
 
+    def __reduce__(self):
+        return (CodonSet.from_mask, (self.x,))
+
     @classmethod
     def from_mask(cls, mask: int) -> "CodonSet":
         self = object.__new__(cls)

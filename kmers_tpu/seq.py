@@ -53,6 +53,9 @@ class Seq:
     def __setattr__(self, *_):
         raise AttributeError("Seq is immutable")
 
+    def __reduce__(self):
+        return (Seq.from_codes, (self.alphabet, self.codes.copy()))
+
     @staticmethod
     def _encode_source(alphabet: Alphabet, source) -> np.ndarray:
         dtype = _codes_dtype(alphabet)

@@ -52,6 +52,10 @@ class _Symbol:
     def __setattr__(self, *_):
         raise AttributeError(f"{type(self).__name__} is immutable")
 
+    def __reduce__(self):
+        # interned singletons: reconstruct through the registry
+        return (type(self).from_code, (self.code,))
+
     def __repr__(self):
         return f"{type(self).__name__}_{self.char if self.char not in '*-' else ('Term' if self.char == '*' else 'Gap')}"
 

@@ -195,3 +195,18 @@ class TestSeqCanonical:
             want = DNAKmer(s).canonical()
             assert str(canonical(seq)) == str(want)
             assert iscanonical(canonical(seq))
+
+
+class TestPickling:
+    def test_roundtrip(self, rng):
+        import pickle
+        from kmers_tpu import AAKmer, CodonSet, DNAAlphabet4, Seq, mer, AminoAcid
+
+        for obj in [
+            mer("TAGCTA", "d"),
+            AAKmer("KWPQHVY"),
+            Seq(DNAAlphabet4(), "TAGWN-"),
+            CodonSet([mer("UAG", "r"), mer("GGA", "r")]),
+            AminoAcid.W,
+        ]:
+            assert pickle.loads(pickle.dumps(obj)) == obj

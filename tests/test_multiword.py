@@ -110,3 +110,25 @@ class TestMultiwordCount:
     def test_n_limbs(self):
         assert n_limbs(31) == 2 and n_limbs(33) == 3 and n_limbs(48) == 3
         assert n_limbs(63) == 4 and n_limbs(64) == 4
+
+
+class TestMultiwordPipeline:
+    @pytest.mark.parametrize("K", [33, 55])
+    def test_pipeline_parity(self, rng, K):
+        from kmers_tpu.pipelines import canonical_count
+
+        s = rand_dna(rng, 3000, "ACGTN")
+        kmers, counts = canonical_count(s, K=K)
+        oracle = collections.Counter(
+            k.canonical().value for k, _ in UnambiguousDNAMers(K, s)
+        )
+        assert dict(zip([int(k) for k in kmers], counts.tolist())) == dict(oracle)
+
+    def test_chunked(self, rng):
+        from kmers_tpu.pipelines import CountConfig, canonical_count_bytes
+
+        s = rand_dna(rng, 5000)
+        a = canonical_count_bytes(s, CountConfig(K=40, chunk_size=700))
+        b = canonical_count_bytes(s, CountConfig(K=40))
+        assert [int(x) for x in a[0]] == [int(x) for x in b[0]]
+        assert np.array_equal(a[1], b[1])
