@@ -269,6 +269,27 @@ def canonical_count_records(
     return canonical_count_bytes(join_records_with_n(seq_bytes, offsets), config)
 
 
+def counts_lookup(kmers: np.ndarray, counts: np.ndarray, queries) -> np.ndarray:
+    """Multiplicity of each query kmer in a sorted count table (0 if absent).
+
+    ``queries``: uint64 register values or :class:`Kmer` objects (their
+    canonical form is looked up, matching how the table was built).
+    """
+    from ..kmer import Kmer
+
+    q = np.array(
+        [
+            x.canonical().value if isinstance(x, Kmer) else int(x)
+            for x in np.atleast_1d(queries)
+        ],
+        dtype=np.uint64,
+    )
+    idx = np.searchsorted(kmers, q)
+    idx_c = np.clip(idx, 0, max(kmers.size - 1, 0))
+    hit = (kmers.size > 0) & (kmers[idx_c] == q)
+    return np.where(hit, counts[idx_c], 0)
+
+
 def counts_to_dict(kmers: np.ndarray, counts: np.ndarray, K: int):
     """Materialize a (kmers, counts) table as {Kmer: int} for interop/tests."""
     from ..kmer import Kmer

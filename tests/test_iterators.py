@@ -195,3 +195,42 @@ class TestSpaced:
         )
         assert [str(k) for k in each_codon(Seq(RNAAlphabet4(), "AUGCCG"))] == [
             "AUG", "CCG"]
+
+
+class TestEdgeCases:
+    def test_unconvertible_alphabet(self, rng):
+        # AA iterator over a DNA Seq: generic recoding fails lazily
+        from kmers_tpu import AminoAcidAlphabet, EncodeError, FwKmers, Seq, DNAAlphabet4
+
+        seq = Seq(DNAAlphabet4(), "TAGWN")
+        it = FwKmers(AminoAcidAlphabet(), 3, seq)
+        with pytest.raises(EncodeError):
+            list(it)
+
+    def test_smaller_than_k_all_iterators(self):
+        from kmers_tpu import (
+            CanonicalDNAMers,
+            FwDNAMers,
+            FwRvIterator,
+            SpacedDNAMers,
+            UnambiguousDNAMers,
+            DNAAlphabet2,
+        )
+
+        s = "ACG"
+        assert list(FwDNAMers(5, s)) == []
+        assert list(CanonicalDNAMers(5, s)) == []
+        assert list(FwRvIterator(DNAAlphabet2(), 5, s)) == []
+        assert list(UnambiguousDNAMers(5, s)) == []
+        assert list(SpacedDNAMers(5, 2, s)) == []
+
+    def test_printing(self):
+        from kmers_tpu import Seq, DNAAlphabet4, RNAAlphabet4, AminoAcidAlphabet, mer
+
+        for s, want in [
+            (mer("", "d"), ""),
+            (Seq(DNAAlphabet4(), "TGASWKHVAAN--A"), "TGASWKHVAAN--A"),
+            (Seq(RNAAlphabet4(), "UAGUCUYMNS"), "UAGUCUYMNS"),
+            (Seq(AminoAcidAlphabet(), "LKHWSYYVQN"), "LKHWSYYVQN"),
+        ]:
+            assert str(s) == want
