@@ -4,7 +4,10 @@ from .canonical_count import (
     CountConfig,
     canonical_count,
     canonical_count_bytes,
+    canonical_count_records,
+    counts_lookup,
     counts_to_dict,
+    join_records_with_n,
 )
 from .minhash import minhash_sketch, jaccard
 from .extract import extract_kmers, spaced_kmers, minimizer_select

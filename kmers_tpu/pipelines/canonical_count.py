@@ -277,10 +277,12 @@ def counts_lookup(kmers: np.ndarray, counts: np.ndarray, queries) -> np.ndarray:
     """
     from ..kmer import Kmer
 
+    if isinstance(queries, (Kmer, int, np.integer)):
+        queries = [queries]
     q = np.array(
         [
             x.canonical().value if isinstance(x, Kmer) else int(x)
-            for x in np.atleast_1d(queries)
+            for x in queries
         ],
         dtype=np.uint64,
     )

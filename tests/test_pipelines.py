@@ -101,3 +101,23 @@ class TestRecordCounting:
             for k in CanonicalDNAMers(K, r):
                 oracle[k.value] += 1
         assert dict(zip(kmers.tolist(), counts.tolist())) == dict(oracle)
+
+
+class TestLookup:
+    def test_counts_lookup(self, rng):
+        from kmers_tpu.pipelines import canonical_count, counts_lookup
+
+        s = rand_dna(rng, 500)
+        kmers, counts = canonical_count(s, K=11)
+        # present queries (by value and by Kmer)
+        q_vals = kmers[[0, 5, len(kmers) - 1]]
+        assert np.array_equal(
+            counts_lookup(kmers, counts, q_vals), counts[[0, 5, len(kmers) - 1]]
+        )
+        k = DNAKmer(s[3 : 3 + 11])
+        assert counts_lookup(kmers, counts, [k])[0] >= 1
+        # absent query
+        absent = np.uint64((1 << 22) - 1)
+        while absent in set(kmers.tolist()):
+            absent += np.uint64(1)
+        assert counts_lookup(kmers, counts, [absent])[0] == 0
