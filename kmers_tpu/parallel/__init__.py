@@ -14,3 +14,4 @@ from .pipeline import (
     exchange_and_merge,
 )
 from .sixframe import SixFrameCountConfig, sharded_sixframe_aa_count
+from .minimizers import sharded_minimizer_select

@@ -166,3 +166,32 @@ class TestSixFrame:
         _, counts = sharded_sixframe_aa_count(s, SixFrameCountConfig(K=K), mesh)
         want = 2 * sum((len(s) - f) // 3 - K + 1 for f in range(3))
         assert counts.sum() == want
+
+
+class TestShardedMinimizers:
+    @pytest.mark.parametrize("n_dev", [1, 3, 8])
+    def test_parity_with_single_chip(self, n_dev):
+        from kmers_tpu.parallel.minimizers import sharded_minimizer_select
+        from kmers_tpu.pipelines import minimizer_select
+
+        rng = np.random.default_rng(11)
+        s = "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+        K, W = 15, 10
+        vals1, pos1 = minimizer_select(s, K=K, W=W)
+        mesh = data_mesh(n_dev)
+        vals2, pos2 = sharded_minimizer_select(s, K=K, W=W, mesh=mesh)
+        assert np.array_equal(pos1, pos2)
+        assert np.array_equal(vals1, vals2)
+
+    def test_ambiguity_raises(self):
+        from kmers_tpu import EncodeError
+        from kmers_tpu.parallel.minimizers import sharded_minimizer_select
+
+        with pytest.raises(EncodeError):
+            sharded_minimizer_select("ACGT" * 100 + "N" + "ACGT" * 100, mesh=data_mesh(4))
+
+    def test_short(self):
+        from kmers_tpu.parallel.minimizers import sharded_minimizer_select
+
+        v, p = sharded_minimizer_select("ACGT", K=15, W=10, mesh=data_mesh(2))
+        assert v.size == 0
