@@ -18,7 +18,10 @@ from .windows import (
     windows_from_codes,
     rc_windows_from_codes,
     canonical_windows_from_codes,
+    rc_windows_4bit_from_codes,
+    canonical_windows_4bit_from_codes,
     window_valid_mask,
+    window_valid_mask_om,
 )
 from .hashing import fx_hash_u64, fx_hash_words
 from .count import sort_count, merge_sorted_counts, SENTINEL

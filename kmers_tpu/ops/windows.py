@@ -144,6 +144,32 @@ def window_valid_mask_om(good, K: int, Qp: int):
 
 
 @partial(jax.jit, static_argnames=("K",))
+def rc_windows_4bit_from_codes(codes, K: int):
+    """Reverse-complement windows of a 4-bit nucleotide code stream.
+
+    The 4-bit complement is the nibble bit-reversal (gap and N are
+    self-complementary), applied per code before the reversed-stream
+    window extraction — the 4-bit analogue of
+    :func:`rc_windows_from_codes`.
+    """
+    c = codes
+    comp = ((c & 1) << 3) | ((c & 2) << 1) | ((c & 4) >> 1) | ((c & 8) >> 3)
+    rc_stream = comp[::-1]
+    hi, lo = windows_from_codes(rc_stream, K, bps=4)
+    return hi[::-1], lo[::-1]
+
+
+@partial(jax.jit, static_argnames=("K",))
+def canonical_windows_4bit_from_codes(codes, K: int):
+    """min(forward, reverse-complement) per window over 4-bit codes —
+    the batched CanonicalKmers{DNAAlphabet{4}} (K <= 16 per register;
+    K <= 15 if feeding the sentinel-based counter)."""
+    fw = windows_from_codes(codes, K, bps=4)
+    rv = rc_windows_4bit_from_codes(codes, K)
+    return u64.minimum(fw, rv)
+
+
+@partial(jax.jit, static_argnames=("K",))
 def window_valid_mask(good, K: int):
     """For a per-symbol boolean ``good``, the per-window "all K symbols good"
     mask — the data-parallel equivalent of UnambiguousKmers' restart counter

@@ -354,3 +354,45 @@ class TestSpacedArrays:
         vals = u64.to_numpy((hi[::J], lo[::J]))
         want = np.array([k.value for k in SpacedDNAMers(K, J, s)], np.uint64)
         assert np.array_equal(vals, want)
+
+
+class TestFourBitCanonical:
+    @pytest.mark.parametrize("K", [1, 7, 15])
+    def test_parity(self, rng, K):
+        from kmers_tpu.ops import (
+            canonical_windows_4bit_from_codes,
+            rc_windows_4bit_from_codes,
+        )
+
+        s = rand_dna(rng, 150, "ACGTMRSVWYHKDBN")
+        codes, valid = encode_table(to_bytes(s), DNAAlphabet4)
+        codes = np.asarray(codes)
+        ks = [
+            Kmer(DNAAlphabet4(), s[i : i + K]) for i in range(len(s) - K + 1)
+        ]
+        rc = u64.to_numpy(rc_windows_4bit_from_codes(codes, K))
+        assert np.array_equal(
+            rc, np.array([k.reverse_complement().value for k in ks], np.uint64)
+        )
+        canon = u64.to_numpy(canonical_windows_4bit_from_codes(codes, K))
+        assert np.array_equal(
+            canon, np.array([k.canonical().value for k in ks], np.uint64)
+        )
+
+    def test_counting(self, rng):
+        import collections
+        from kmers_tpu import CanonicalKmers
+        from kmers_tpu.ops import canonical_windows_4bit_from_codes
+
+        s = rand_dna(rng, 800, "ACGTN")
+        codes, _ = encode_table(to_bytes(s), DNAAlphabet4)
+        hi, lo = canonical_windows_4bit_from_codes(np.asarray(codes), 9)
+        uh, ul, cnt, nu = sort_count(hi, lo)
+        got = {}
+        for h, l, c in zip(np.asarray(uh), np.asarray(ul), np.asarray(cnt)):
+            if c > 0:
+                got[(int(h) << 32) | int(l)] = int(c)
+        oracle = collections.Counter(
+            k.value for k in CanonicalKmers(DNAAlphabet4(), 9, Seq(DNAAlphabet4(), s))
+        )
+        assert got == dict(oracle)
