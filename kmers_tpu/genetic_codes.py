@@ -200,6 +200,9 @@ pterobranchia_mitochondrial_genetic_code = GeneticCode(
     "Pterobranchia Mitochondrial",
     "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSSKVVVVAAAADDEEGGGG",
 )  # 24
+#: alias matching BioSequences.jl's (typo'd) export name
+pterobrachia_mitochondrial_genetic_code = pterobranchia_mitochondrial_genetic_code
+
 candidate_division_sr1_genetic_code = GeneticCode(
     "Candidate Division SR1 and Gracilibacteria",
     "FFLLSSSSYY**CCGWLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",

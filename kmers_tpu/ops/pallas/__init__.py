@@ -5,4 +5,10 @@ these kernels are drop-in faster paths, validated against them in
 tests/test_pallas.py.
 """
 
-from .window_kernel import canonical_windows_pallas, HAVE_PALLAS
+from .window_kernel import (
+    canonical_windows_pallas,
+    canonical_windows_masked_pallas,
+    linearize_offset_major,
+    HAVE_PALLAS,
+)
+from .general_kernel import windows_pallas_general

@@ -80,3 +80,58 @@ class TestMaskedKernel:
         # padding slots beyond n are sentinel too
         flat_hi = np.asarray(hi_om).T.reshape(-1)
         assert (flat_hi[n:] == 0xFFFFFFFF).all()
+
+
+class TestGeneralKernel:
+    @pytest.mark.parametrize("bps,K,canonical", [
+        (2, 31, True), (2, 16, False), (4, 15, True), (4, 9, False), (8, 7, False),
+    ])
+    def test_parity(self, rng, bps, K, canonical):
+        from kmers_tpu import DNAAlphabet4, AminoAcidAlphabet
+        from kmers_tpu.ops import u64 as u64ops
+        from kmers_tpu.ops.encode import encode_table
+        from kmers_tpu.ops.pallas.general_kernel import windows_pallas_general
+        from kmers_tpu.ops.windows import (
+            canonical_windows_4bit_from_codes,
+            canonical_windows_from_codes,
+            window_valid_mask,
+            windows_from_codes,
+        )
+
+        if bps == 2:
+            s = "".join("ACGTN"[i] for i in rng.integers(0, 5, 4000))
+            codes, good, _ = classify_2bit(np.frombuffer(s.encode(), np.uint8))
+            want = (
+                canonical_windows_from_codes(np.asarray(codes), K)
+                if canonical
+                else windows_from_codes(np.asarray(codes), K)
+            )
+        elif bps == 4:
+            s = "".join("ACGTMRN"[i] for i in rng.integers(0, 7, 3000))
+            codes, good = encode_table(
+                np.frombuffer(s.encode(), np.uint8), DNAAlphabet4
+            )
+            want = (
+                canonical_windows_4bit_from_codes(np.asarray(codes), K)
+                if canonical
+                else windows_from_codes(np.asarray(codes), K, bps=4)
+            )
+        else:
+            s = "".join("ARNDCQEGHILKMFPSTWYV"[i] for i in rng.integers(0, 20, 2000))
+            codes, good = encode_table(
+                np.frombuffer(s.encode(), np.uint8), AminoAcidAlphabet
+            )
+            want = windows_from_codes(np.asarray(codes), K, bps=8)
+
+        hi_om, lo_om = windows_pallas_general(
+            np.asarray(codes), np.asarray(good), K, bps=bps,
+            canonical=canonical, W=128, interpret=True,
+        )
+        n = len(s) - K + 1
+        got_hi = np.asarray(linearize_offset_major(hi_om, n))
+        got_lo = np.asarray(linearize_offset_major(lo_om, n))
+        valid = np.asarray(window_valid_mask(np.asarray(good), K))
+        wh, wl = (np.asarray(x) for x in want)
+        assert np.array_equal(got_hi[valid], wh[valid])
+        assert np.array_equal(got_lo[valid], wl[valid])
+        assert (got_hi[~valid] == 0xFFFFFFFF).all()
