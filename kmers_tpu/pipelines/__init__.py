@@ -5,6 +5,7 @@ from .canonical_count import (
     canonical_count,
     canonical_count_bytes,
     canonical_count_records,
+    composition_vector,
     counts_lookup,
     counts_to_dict,
     join_records_with_n,

@@ -269,6 +269,31 @@ def canonical_count_records(
     return canonical_count_bytes(join_records_with_n(seq_bytes, offsets), config)
 
 
+def composition_vector(
+    data, K: int = 4, canonical: bool = False, skip_ambiguous: bool = True
+) -> np.ndarray:
+    """Dense K-mer composition spectrum: a (4**K,) count vector indexed by
+    the kmer register value (tetranucleotide frequency and friends — the
+    reference's composition workflow, /root/reference/docs/src/composition.md,
+    as a fixed-size feature vector).  K <= 12 (dense 4^K table).
+    """
+    if not 1 <= K <= 12:
+        raise ValueError("composition vectors support 1 <= K <= 12")
+    if canonical:
+        kmers, counts = canonical_count_bytes(
+            data, CountConfig(K=K, skip_ambiguous=skip_ambiguous)
+        )
+        out = np.zeros(4**K, dtype=np.int64)
+        out[kmers.astype(np.int64)] = counts
+        return out
+    from .extract import extract_kmers
+
+    vals, _ = extract_kmers(
+        data, K=K, canonical=False, skip_ambiguous=skip_ambiguous
+    )
+    return np.bincount(vals.astype(np.int64), minlength=4**K).astype(np.int64)
+
+
 def counts_lookup(kmers: np.ndarray, counts: np.ndarray, queries) -> np.ndarray:
     """Multiplicity of each query kmer in a sorted count table (0 if absent).
 

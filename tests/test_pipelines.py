@@ -121,3 +121,28 @@ class TestLookup:
         while absent in set(kmers.tolist()):
             absent += np.uint64(1)
         assert counts_lookup(kmers, counts, [absent])[0] == 0
+
+
+class TestComposition:
+    def test_forward(self, rng):
+        from kmers_tpu.pipelines import composition_vector
+
+        s = rand_dna(rng, 400)
+        v = composition_vector(s, K=3)
+        assert v.shape == (64,) and v.sum() == len(s) - 2
+        # oracle
+        import collections
+        want = collections.Counter(k.value for k in FwDNAMers(3, s))
+        for code in range(64):
+            assert v[code] == want.get(code, 0)
+
+    def test_canonical(self, rng):
+        from kmers_tpu.pipelines import composition_vector
+
+        s = rand_dna(rng, 400)
+        v = composition_vector(s, K=4, canonical=True)
+        import collections
+        want = collections.Counter(k.value for k in CanonicalDNAMers(4, s))
+        assert v.sum() == len(s) - 3
+        for code in range(256):
+            assert v[code] == want.get(code, 0)
