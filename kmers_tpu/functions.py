@@ -10,8 +10,6 @@ user code reads naturally.
 from __future__ import annotations
 
 from .kmer import Kmer
-from .seq import Seq
-from .symbols import DNA, RNA
 
 __all__ = [
     "translate",

@@ -12,7 +12,6 @@ downstream masking enforces via these offsets.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

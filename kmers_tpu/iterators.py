@@ -15,24 +15,19 @@ Differences from the reference (documented API decisions):
 
 from __future__ import annotations
 
-import numpy as np
-
 from .alphabets import (
     Alphabet,
     AminoAcidAlphabet,
     ASCII_SKIPPING_LUT,
     DNAAlphabet2,
-    DNAAlphabet4,
     NucleicAcidAlphabet,
     RNAAlphabet2,
-    RNAAlphabet4,
     EncodeError,
 )
 from .construction import (
     AsciiEncode,
     Copyable,
     FourToTwo,
-    GenericRecoding,
     TwoToFour,
     recoding_scheme,
     _ascii_bytes,

@@ -32,10 +32,8 @@ from .alphabets import (
     NucleicAcidAlphabet,
     RNAAlphabet2,
     RNAAlphabet4,
-    EncodeError,
 )
-from .genetic_codes import standard_genetic_code, TranslationError
-from .symbols import AminoAcid
+from .genetic_codes import standard_genetic_code
 
 __all__ = [
     "Kmer",

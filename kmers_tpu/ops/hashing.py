@@ -9,7 +9,6 @@ uint32 lanes (see :mod:`kmers_tpu.ops.u64`).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from . import u64
 from ..kmer import FX_CONSTANT

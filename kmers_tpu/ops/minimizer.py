@@ -21,7 +21,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from . import u64
 from .hashing import fx_hash_u64
 
 __all__ = ["sliding_min_u64", "minimizers"]

@@ -27,7 +27,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # pallas requires a TPU/Mosaic or interpreter backend
     from jax.experimental import pallas as pl

@@ -11,8 +11,6 @@ frames 0/1/2 of the reverse-complement stream (BASELINE.json config 5).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

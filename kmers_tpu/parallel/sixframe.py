@@ -31,7 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..genetic_codes import GeneticCode, standard_genetic_code
-from ..ops.count import SENTINEL, sort_count
+from ..ops.count import sort_count
 from ..ops.encode import classify_2bit
 from ..ops.windows import windows_from_codes, window_valid_mask
 from .mesh import data_mesh

@@ -22,14 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..alphabets import EncodeError, DNAAlphabet2
-from ..ops import u64 as u64ops
-from ..ops.count import SENTINEL, merge_sorted_counts, sort_count
-from ..ops.encode import classify_2bit, pack_words
-from ..ops.windows import (
-    canonical_windows_from_codes,
-    window_valid_mask,
-    window_valid_mask_om,
-)
+from ..ops.count import merge_sorted_counts, sort_count
+from ..ops.encode import classify_2bit
+from ..ops.windows import canonical_windows_from_codes, window_valid_mask
 
 
 def _on_tpu() -> bool:

@@ -9,7 +9,7 @@ CodonSet mask; parity anchor: ``reverse_translate(aa"KWCL")`` yields masks
 
 from __future__ import annotations
 
-from .alphabets import AminoAcidAlphabet, RNAAlphabet2
+from .alphabets import RNAAlphabet2
 from .genetic_codes import GeneticCode, standard_genetic_code
 from .kmer import Kmer
 from .seq import Seq

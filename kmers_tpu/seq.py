@@ -15,11 +15,7 @@ import numpy as np
 from .alphabets import (
     Alphabet,
     AminoAcidAlphabet,
-    DNAAlphabet2,
-    DNAAlphabet4,
     NucleicAcidAlphabet,
-    RNAAlphabet2,
-    RNAAlphabet4,
     EncodeError,
 )
 from .genetic_codes import (
