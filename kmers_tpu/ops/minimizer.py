@@ -71,6 +71,23 @@ def sliding_min_u64(key_hi, key_lo, W: int):
     return mh, ml, mp
 
 
+@partial(jax.jit, static_argnames=("K", "s"))
+def closed_syncmer_mask(smer_hi, smer_lo, K: int, s: int):
+    """Closed-syncmer selection mask over a kmer stream.
+
+    Given the FxHash (or any u64 key) stream of all s-mers, kmer *i*
+    (spanning s-mers [i, i+K-s]) is a closed syncmer iff the minimal
+    s-mer in its span sits at the first or last offset — the
+    open/closed syncmer schemes of Edgar 2021, built from the same
+    doubling sliding-min as minimizers.  Returns a boolean mask over the
+    ``n_smers - (K - s)`` kmer positions.
+    """
+    span = K - s + 1
+    _, _, argmin = sliding_min_u64(smer_hi, smer_lo, span)
+    offs = argmin - jnp.arange(argmin.shape[0], dtype=_I32)
+    return (offs == 0) | (offs == span - 1)
+
+
 @partial(jax.jit, static_argnames=("W",))
 def minimizers(kmer_hi, kmer_lo, W: int):
     """(W, K)-minimizers of a kmer stream: per window of W consecutive

@@ -11,4 +11,4 @@ from .canonical_count import (
     join_records_with_n,
 )
 from .minhash import minhash_sketch, jaccard
-from .extract import extract_kmers, spaced_kmers, minimizer_select
+from .extract import extract_kmers, spaced_kmers, minimizer_select, syncmer_select

@@ -23,7 +23,7 @@ from ..ops.windows import (
     windows_from_codes,
 )
 
-__all__ = ["extract_kmers", "spaced_kmers", "minimizer_select"]
+__all__ = ["extract_kmers", "spaced_kmers", "minimizer_select", "syncmer_select"]
 
 
 def _prep(data):
@@ -78,6 +78,34 @@ def spaced_kmers(data, K: int, J: int, canonical: bool = False):
     if int(n_inv):
         raise EncodeError(DNAAlphabet2(), "<batch input>")
     return vals
+
+
+def syncmer_select(data, K: int = 15, s: int = 5, canonical: bool = False):
+    """Closed-syncmer sampling: kmers whose minimal s-mer (by FxHash) sits
+    at the first or last offset of the kmer.  Returns (values, positions).
+
+    Unlike minimizers, syncmer selection is a pure function of each kmer's
+    own content, so the sampling is context-free (identical for a kmer in
+    any sequence) — the property that makes syncmers robust to mutations
+    (docs/replacements.md).  Requires an ambiguity-free buffer.
+    """
+    from ..ops.hashing import fx_hash_u64
+    from ..ops.minimizer import closed_syncmer_mask
+
+    if not 1 <= s < K:
+        raise ValueError("need 1 <= s < K")
+    arr = _prep(data)
+    if arr.size < K:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    hi, lo, valid, n_inv, n_amb = _extract(jnp.asarray(arr), K, canonical)
+    if int(n_inv) or int(n_amb):
+        raise EncodeError(DNAAlphabet2(), "<ambiguous or invalid base>")
+    s_hi, s_lo = _extract(jnp.asarray(arr), s, False)[:2]
+    sh, sl = fx_hash_u64(s_hi, s_lo)
+    mask = np.asarray(closed_syncmer_mask(sh, sl, K, s))
+    vals = u64ops.to_numpy((hi, lo))
+    pos = np.nonzero(mask)[0].astype(np.int64)
+    return vals[mask], pos
 
 
 def minimizer_select(data, K: int = 15, W: int = 10, canonical: bool = True):

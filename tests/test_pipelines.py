@@ -146,3 +146,41 @@ class TestComposition:
         assert v.sum() == len(s) - 3
         for code in range(256):
             assert v[code] == want.get(code, 0)
+
+
+class TestSyncmers:
+    def test_oracle(self, rng):
+        from kmers_tpu.pipelines import syncmer_select
+
+        s = rand_dna(rng, 300)
+        K, sl = 11, 4
+        vals, pos = syncmer_select(s, K=K, s=sl)
+        # oracle: per kmer, hash its own s-mers; selected iff min at ends
+        want_pos = []
+        for i in range(len(s) - K + 1):
+            window = s[i : i + K]
+            hs = [fx_hash(DNAKmer(window[j : j + sl])) for j in range(K - sl + 1)]
+            m = int(np.argmin(hs))
+            if m in (0, K - sl):
+                want_pos.append(i)
+        assert pos.tolist() == want_pos
+        assert vals.tolist() == [DNAKmer(s[p : p + K]).value for p in want_pos]
+
+    def test_context_free(self, rng):
+        # a kmer's syncmer-ness is identical in any context
+        from kmers_tpu.pipelines import syncmer_select
+
+        core = rand_dna(rng, 40)
+        K, sl = 11, 4
+        _, p1 = syncmer_select("AAAA" + core, K=K, s=sl)
+        _, p2 = syncmer_select("GGGGGGGG" + core, K=K, s=sl)
+        set1 = {q - 4 for q in p1.tolist() if q >= 4}
+        set2 = {q - 8 for q in p2.tolist() if q >= 8}
+        assert set1 == set2
+
+    def test_bad_s(self):
+        from kmers_tpu.pipelines import syncmer_select
+
+        import pytest as pt
+        with pt.raises(ValueError):
+            syncmer_select("ACGTACGT", K=4, s=4)
