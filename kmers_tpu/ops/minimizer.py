@@ -83,9 +83,14 @@ def closed_syncmer_mask(smer_hi, smer_lo, K: int, s: int):
     ``n_smers - (K - s)`` kmer positions.
     """
     span = K - s + 1
-    _, _, argmin = sliding_min_u64(smer_hi, smer_lo, span)
-    offs = argmin - jnp.arange(argmin.shape[0], dtype=_I32)
-    return (offs == 0) | (offs == span - 1)
+    mh, ml, _ = sliding_min_u64(smer_hi, smer_lo, span)
+    n = mh.shape[0]
+    # value comparison (not argmin position): robust to duplicate hashes,
+    # e.g. from canonical folding — and therefore symmetric under
+    # sequence reversal
+    first_eq = (smer_hi[:n] == mh) & (smer_lo[:n] == ml)
+    last_eq = (smer_hi[span - 1 :] == mh) & (smer_lo[span - 1 :] == ml)
+    return first_eq | last_eq
 
 
 @partial(jax.jit, static_argnames=("W",))

@@ -102,6 +102,9 @@ def windows_pallas_general(
 
     P = 32 // bps
     L = codes.shape[0]
+    if L == 0:
+        z = jnp.full((P, 0), _SENT, _U32)
+        return z, z
     Qreal = max(-(-L // P), 1)
     grid = max(-(-Qreal // W), 1)
     words = pack_words(codes, bps=bps, pad_words=0)

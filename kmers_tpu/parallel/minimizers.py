@@ -66,9 +66,9 @@ def sharded_minimizer_select(
     identical to ``pipelines.minimizer_select`` on one chip.  Requires an
     ambiguity-free buffer, like the single-chip pipeline.
     """
-    if isinstance(data, str):
-        data = data.encode("ascii")
-    arr = np.frombuffer(bytes(data), dtype=np.uint8).copy()
+    from ..pipelines.extract import _prep
+
+    arr = _prep(data)  # read-only view; only ever copied into shard buffers
     if mesh is None:
         mesh = data_mesh()
     n_dev = mesh.devices.size

@@ -299,6 +299,8 @@ def counts_lookup(kmers: np.ndarray, counts: np.ndarray, queries) -> np.ndarray:
 
     if isinstance(queries, (Kmer, int, np.integer)):
         queries = [queries]
+    elif isinstance(queries, np.ndarray) and queries.ndim == 0:
+        queries = [queries[()]]
     q = np.array(
         [
             x.canonical().value if isinstance(x, Kmer) else int(x)

@@ -80,6 +80,28 @@ def spaced_kmers(data, K: int, J: int, canonical: bool = False):
     return vals
 
 
+@partial(jax.jit, static_argnames=("K", "s", "canonical"))
+def _syncmer_windows(bytes_u8, K: int, s: int, canonical: bool):
+    from ..ops.hashing import fx_hash_u64
+    from ..ops.minimizer import closed_syncmer_mask
+
+    codes, certain, ambig = classify_2bit(bytes_u8)
+    bad = jnp.sum(~certain)
+    if canonical:
+        hi, lo = canonical_windows_from_codes(codes, K)
+        # hash canonical s-mers so selection is strand-symmetric: under
+        # reverse complement the s-mer span mirrors, mapping the
+        # first-offset criterion onto the last-offset one — which the
+        # closed (first OR last) rule is invariant to
+        s_hi, s_lo = canonical_windows_from_codes(codes, s)
+    else:
+        hi, lo = windows_from_codes(codes, K)
+        s_hi, s_lo = windows_from_codes(codes, s)
+    sh, sl = fx_hash_u64(s_hi, s_lo)
+    mask = closed_syncmer_mask(sh, sl, K, s)
+    return hi, lo, mask, bad
+
+
 def syncmer_select(data, K: int = 15, s: int = 5, canonical: bool = False):
     """Closed-syncmer sampling: kmers whose minimal s-mer (by FxHash) sits
     at the first or last offset of the kmer.  Returns (values, positions).
@@ -87,22 +109,19 @@ def syncmer_select(data, K: int = 15, s: int = 5, canonical: bool = False):
     Unlike minimizers, syncmer selection is a pure function of each kmer's
     own content, so the sampling is context-free (identical for a kmer in
     any sequence) — the property that makes syncmers robust to mutations
-    (docs/replacements.md).  Requires an ambiguity-free buffer.
+    (docs/replacements.md).  With ``canonical=True`` both the emitted
+    kmers and the s-mer hashes are canonical, making the sampling
+    strand-symmetric.  Requires an ambiguity-free buffer.
     """
-    from ..ops.hashing import fx_hash_u64
-    from ..ops.minimizer import closed_syncmer_mask
-
     if not 1 <= s < K:
         raise ValueError("need 1 <= s < K")
     arr = _prep(data)
     if arr.size < K:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
-    hi, lo, valid, n_inv, n_amb = _extract(jnp.asarray(arr), K, canonical)
-    if int(n_inv) or int(n_amb):
+    hi, lo, mask, bad = _syncmer_windows(jnp.asarray(arr), K, s, canonical)
+    if int(bad):
         raise EncodeError(DNAAlphabet2(), "<ambiguous or invalid base>")
-    s_hi, s_lo = _extract(jnp.asarray(arr), s, False)[:2]
-    sh, sl = fx_hash_u64(s_hi, s_lo)
-    mask = np.asarray(closed_syncmer_mask(sh, sl, K, s))
+    mask = np.asarray(mask)
     vals = u64ops.to_numpy((hi, lo))
     pos = np.nonzero(mask)[0].astype(np.int64)
     return vals[mask], pos

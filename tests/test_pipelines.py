@@ -160,8 +160,7 @@ class TestSyncmers:
         for i in range(len(s) - K + 1):
             window = s[i : i + K]
             hs = [fx_hash(DNAKmer(window[j : j + sl])) for j in range(K - sl + 1)]
-            m = int(np.argmin(hs))
-            if m in (0, K - sl):
+            if min(hs) in (hs[0], hs[-1]):
                 want_pos.append(i)
         assert pos.tolist() == want_pos
         assert vals.tolist() == [DNAKmer(s[p : p + K]).value for p in want_pos]
@@ -184,3 +183,24 @@ class TestSyncmers:
         import pytest as pt
         with pt.raises(ValueError):
             syncmer_select("ACGTACGT", K=4, s=4)
+
+
+class TestSyncmerStrandSymmetry:
+    def test_canonical_strand_symmetric(self, rng):
+        from kmers_tpu import Seq, DNAAlphabet2
+        from kmers_tpu.pipelines import syncmer_select
+
+        s = rand_dna(rng, 200)
+        rc = str(Seq(DNAAlphabet2(), s).reverse_complement())
+        K, sl = 11, 4
+        v1, _ = syncmer_select(s, K=K, s=sl, canonical=True)
+        v2, _ = syncmer_select(rc, K=K, s=sl, canonical=True)
+        assert set(v1.tolist()) == set(v2.tolist())
+
+    def test_lookup_0d_query(self, rng):
+        from kmers_tpu.pipelines import canonical_count, counts_lookup
+
+        s = rand_dna(rng, 200)
+        kmers, counts = canonical_count(s, K=9)
+        q = np.array(kmers[0])  # 0-d ndarray
+        assert counts_lookup(kmers, counts, q)[0] == counts[0]
