@@ -125,6 +125,50 @@ def _kernel(words_ref, next_ref, hi_ref, lo_ref, *, K: int, W: int, interpret: b
         lo_ref[r : r + 1, :] = cl
 
 
+def _fx_mul(hi, lo):
+    """Low 64 bits of register * FX_CONSTANT in uint32 lanes (the whole
+    FxHash of a single-word kmer with seed 0 — see ops/hashing.py)."""
+    from ...kmer import FX_CONSTANT
+
+    b_hi = jnp.asarray(FX_CONSTANT >> 32, _U32)
+    b_lo = jnp.asarray(FX_CONSTANT & 0xFFFFFFFF, _U32)
+    al = lo & 0xFFFF
+    ah = lo >> 16
+    bl = b_lo & 0xFFFF
+    bh = b_lo >> 16
+    p0 = al * bl
+    p1 = al * bh
+    p2 = ah * bl
+    p3 = ah * bh
+    lo1 = p0 + (p1 << 16)
+    c1 = (lo1 < p0).astype(_U32)
+    out_lo = lo1 + (p2 << 16)
+    c2 = (out_lo < lo1).astype(_U32)
+    h0 = p3 + (p1 >> 16) + (p2 >> 16) + c1 + c2
+    out_hi = h0 + lo * b_hi + hi * b_lo
+    return out_hi, out_lo
+
+
+def _kernel_masked_hash(
+    words_ref, next_ref, flags_ref, fnext_ref, hh_ref, hl_ref,
+    *, K: int, W: int, interpret: bool,
+):
+    """Canonical windows -> FxHash directly (for minhash/minimizer
+    pipelines); invalid windows emit all-ones hashes (sort last)."""
+    wa, w1, w2 = _adjacent(words_ref, next_ref, W, interpret)
+    fa, f1, f2 = _adjacent(flags_ref, fnext_ref, W, interpret)
+    s_out = 64 - 2 * K
+    sent = jnp.asarray(_SENT, _U32)
+    for r in range(16):
+        fh, fl = _window_value(wa, w1, w2, 2 * r, s_out)
+        gh, gl = _window_value(fa, f1, f2, 2 * r, s_out)
+        ch, cl = _canonical(fh, fl, K, s_out)
+        hh, hl = _fx_mul(ch, cl)
+        bad = (gh | gl) != 0
+        hh_ref[r : r + 1, :] = jnp.where(bad, sent, hh)
+        hl_ref[r : r + 1, :] = jnp.where(bad, sent, hl)
+
+
 def _kernel_masked(
     words_ref, next_ref, flags_ref, fnext_ref, hi_ref, lo_ref,
     *, K: int, W: int, interpret: bool,
@@ -201,6 +245,25 @@ def canonical_windows_masked_pallas(
     """
     if not 1 <= K <= 31:
         raise ValueError("masked canonical windows support 1 <= K <= 31")
+    return _launch_masked(_kernel_masked, codes, certain, K, W, interpret)
+
+
+@partial(jax.jit, static_argnames=("K", "W", "interpret"))
+def canonical_hash_masked_pallas(
+    codes, certain, K: int, W: int = 4096, interpret: bool = False
+):
+    """FxHashes of canonical windows with fused masking, offset-major.
+
+    Fuses the whole minhash/minimizer front-end into one kernel:
+    windows + in-register RC + canonical select + FxHash multiply.
+    Invalid windows hash to all-ones (sorting after every real hash).
+    """
+    if not 1 <= K <= 31:
+        raise ValueError("masked canonical hashes support 1 <= K <= 31")
+    return _launch_masked(_kernel_masked_hash, codes, certain, K, W, interpret)
+
+
+def _launch_masked(kernel_fn, codes, certain, K, W, interpret):
     from ..encode import pack_words
 
     L = codes.shape[0]
@@ -216,7 +279,7 @@ def canonical_windows_masked_pallas(
     )
     fwords = pack_words(flag_codes, bps=2, pad_words=0)
     rows_f = jnp.zeros((grid + 1) * W, _U32).at[:F].set(fwords).reshape(1, -1)
-    kern = partial(_kernel_masked, K=K, W=W, interpret=interpret)
+    kern = partial(kernel_fn, K=K, W=W, interpret=interpret)
     hi, lo = pl.pallas_call(
         kern,
         grid=(grid,),

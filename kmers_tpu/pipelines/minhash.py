@@ -26,6 +26,27 @@ __all__ = ["minhash_sketch", "jaccard"]
 
 
 @partial(jax.jit, static_argnames=("K", "prefix"))
+def _sketch_chunk_pallas(bytes_u8, K: int, prefix: int):
+    """Fused-kernel variant: classify -> Mosaic canonical+hash kernel ->
+    top_k.  Invalid windows hash to all-ones; no valid K<=31 kmer can
+    (the FxHash preimage of ~0 is >= 2^62), so the host-side filter on
+    the sentinel is exact."""
+    from ..ops.pallas.window_kernel import canonical_hash_masked_pallas
+
+    codes, certain, ambig = classify_2bit(bytes_u8)
+    invalid = ~(certain | ambig)
+    hh_om, hl_om = canonical_hash_masked_pallas(codes, certain, K)
+    hh = hh_om.reshape(-1)
+    hl = hl_om.reshape(-1)
+    _, idx = jax.lax.top_k(~hh, prefix)
+    cand_hh = jnp.take(hh, idx)
+    cand_hl = jnp.take(hl, idx)
+    shh, shl = jax.lax.sort((cand_hh, cand_hl), num_keys=2)
+    boundary = jnp.max(cand_hh)
+    return shh, shl, jnp.sum(invalid), boundary
+
+
+@partial(jax.jit, static_argnames=("K", "prefix"))
 def _sketch_chunk(bytes_u8, K: int, prefix: int):
     """Bottom-``prefix`` hashes by partial selection.
 
@@ -55,10 +76,17 @@ def _sketch_chunk(bytes_u8, K: int, prefix: int):
     return shh, shl, jnp.sum(invalid), boundary
 
 
-def minhash_sketch(data, K: int = 16, s: int = 1000, skip_ambiguous: bool = True):
+def minhash_sketch(
+    data,
+    K: int = 16,
+    s: int = 1000,
+    skip_ambiguous: bool = True,
+    use_pallas: bool | None = None,
+):
     """The ``s`` smallest distinct canonical-kmer FxHashes of ``data``.
 
-    Returns a sorted np.uint64 array of length <= s.
+    Returns a sorted np.uint64 array of length <= s.  ``use_pallas``
+    selects the fused Mosaic kernel (default: TPU backends only; K <= 31).
     """
     if isinstance(data, str):
         data = data.encode("ascii")
@@ -66,11 +94,14 @@ def minhash_sketch(data, K: int = 16, s: int = 1000, skip_ambiguous: bool = True
     if arr.size < K:
         return np.zeros(0, np.uint64)
     n_windows = arr.size - K + 1
+    if use_pallas is None:
+        import jax as _jax
+
+        use_pallas = _jax.default_backend() != "cpu" and K <= 31
+    chunk_fn = _sketch_chunk_pallas if use_pallas else _sketch_chunk
 
     def run(prefix):
-        hh, hl, n_invalid, boundary = _sketch_chunk(
-            jnp.asarray(arr), K, prefix
-        )
+        hh, hl, n_invalid, boundary = chunk_fn(jnp.asarray(arr), K, prefix)
         if int(n_invalid) and not skip_ambiguous:
             raise EncodeError(DNAAlphabet2(), "<batch input>")
         h = (np.asarray(hh).astype(np.uint64) << np.uint64(32)) | np.asarray(

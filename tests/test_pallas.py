@@ -135,3 +135,29 @@ class TestGeneralKernel:
         assert np.array_equal(got_hi[valid], wh[valid])
         assert np.array_equal(got_lo[valid], wl[valid])
         assert (got_hi[~valid] == 0xFFFFFFFF).all()
+
+
+class TestHashKernel:
+    @pytest.mark.parametrize("K", [7, 31])
+    def test_fused_hash_parity(self, rng, K):
+        from kmers_tpu.ops.hashing import fx_hash_u64
+        from kmers_tpu.ops.pallas.window_kernel import canonical_hash_masked_pallas
+        from kmers_tpu.ops.windows import (
+            canonical_windows_from_codes,
+            window_valid_mask,
+        )
+
+        s = "".join("ACGTN"[i] for i in rng.integers(0, 5, 5000))
+        codes, certain, _ = classify_2bit(np.frombuffer(s.encode(), np.uint8))
+        hh_om, hl_om = canonical_hash_masked_pallas(
+            np.asarray(codes), np.asarray(certain), K, W=128, interpret=True
+        )
+        n = len(s) - K + 1
+        hh = np.asarray(linearize_offset_major(hh_om, n))
+        hl = np.asarray(linearize_offset_major(hl_om, n))
+        chi, clo = canonical_windows_from_codes(np.asarray(codes), K)
+        want_h, want_l = (np.asarray(x) for x in fx_hash_u64(chi, clo))
+        valid = np.asarray(window_valid_mask(np.asarray(certain), K))
+        assert np.array_equal(hh[valid], want_h[valid])
+        assert np.array_equal(hl[valid], want_l[valid])
+        assert (hh[~valid] == 0xFFFFFFFF).all() and (hl[~valid] == 0xFFFFFFFF).all()
