@@ -95,9 +95,9 @@ def minhash_sketch(
         return np.zeros(0, np.uint64)
     n_windows = arr.size - K + 1
     if use_pallas is None:
-        import jax as _jax
-
-        use_pallas = _jax.default_backend() != "cpu" and K <= 31
+        # interpret-tested; flip the TPU default once validated on device
+        # (NOTES_R2.md) — the jnp path is the measured-safe default
+        use_pallas = False
     chunk_fn = _sketch_chunk_pallas if use_pallas else _sketch_chunk
 
     def run(prefix):
