@@ -15,3 +15,4 @@ from .pipeline import (
 )
 from .sixframe import SixFrameCountConfig, sharded_sixframe_aa_count
 from .minimizers import sharded_minimizer_select
+from .multiword import sharded_canonical_count_mw

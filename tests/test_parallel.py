@@ -195,3 +195,63 @@ class TestShardedMinimizers:
 
         v, p = sharded_minimizer_select("ACGT", K=15, W=10, mesh=data_mesh(2))
         assert v.size == 0
+
+
+class TestShardedMultiword:
+    @pytest.mark.parametrize("n_dev,K", [(1, 33), (3, 47), (8, 63)])
+    def test_parity_with_single_chip(self, n_dev, K):
+        from kmers_tpu.parallel import sharded_canonical_count_mw
+        from kmers_tpu.pipelines.canonical_count import (
+            CountConfig,
+            canonical_count_bytes,
+        )
+
+        rng = np.random.default_rng(42)
+        s = rand_dna(rng, 5000)
+        mesh = data_mesh(n_dev)
+        k, c = sharded_canonical_count_mw(s, K=K, mesh=mesh)
+        k1, c1 = canonical_count_bytes(s, CountConfig(K=K))
+        assert [int(x) for x in k] == [int(x) for x in k1]
+        assert np.array_equal(c, c1)
+
+    def test_k32_allones_kmer(self):
+        # K=32 fills the register exactly: the all-T kmer is the all-ones
+        # value, which must not be confused with padding
+        from kmers_tpu.parallel import sharded_canonical_count_mw
+
+        s = "T" * 64 + "ACGTACGTACGTACGTACGTACGTACGTACGTAC"
+        mesh = data_mesh(4)
+        k, c = sharded_canonical_count_mw(s, K=32, mesh=mesh)
+        allones = (1 << 64) - 1
+        # canonical(all-T) = all-A = 0
+        d = dict(zip([int(x) for x in k], c.tolist()))
+        assert d[0] == 64 - 32 + 1
+        assert allones not in d
+
+    def test_vs_scalar_oracle(self):
+        from kmers_tpu import UnambiguousDNAMers
+        from kmers_tpu.parallel import sharded_canonical_count_mw
+
+        rng = np.random.default_rng(9)
+        s = rand_dna(rng, 2000)
+        K = 41
+        mesh = data_mesh(8)
+        k, c = sharded_canonical_count_mw(s, K=K, mesh=mesh)
+        oracle = collections.Counter(
+            x.canonical().value for x, _ in UnambiguousDNAMers(K, s)
+        )
+        assert dict(zip([int(x) for x in k], c.tolist())) == {
+            int(x): v for x, v in oracle.items()
+        }
+
+    def test_short_and_errors(self):
+        from kmers_tpu import EncodeError
+        from kmers_tpu.parallel import sharded_canonical_count_mw
+
+        mesh = data_mesh(2)
+        k, c = sharded_canonical_count_mw("ACG", K=33, mesh=mesh)
+        assert k.size == 0
+        with pytest.raises(ValueError):
+            sharded_canonical_count_mw("ACGT" * 100, K=31, mesh=mesh)
+        with pytest.raises(EncodeError):
+            sharded_canonical_count_mw("ACGT!" * 100, K=33, mesh=mesh)
