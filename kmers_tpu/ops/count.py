@@ -13,12 +13,14 @@ encoding uses neither.  Counting is:
 2. run boundaries by neighbor comparison; per-element run totals by
    cumulative scans (cumsum for weights, cummax to propagate each run's
    starting offset — valid because run starts are nondecreasing);
-3. compaction of one representative per run to the front by a *stable
-   partition sort* on the single "is run end" bit — a second lax.sort,
-   the only fast reordering primitive on TPU.
+3. in-place emission: each run's last element keeps (kmer, total), all
+   other positions become sentinel/zero padding.  No compaction pass —
+   front-packing the representatives would need a second full stable
+   sort, which measured ~40% of the whole pipeline on TPU, and nothing
+   downstream needs density (merges re-sort; hosts mask ``counts > 0``).
 
-Results are dense, sorted, and bit-exact reproducible — the property the
-multi-device hash-prefix merge (kmers_tpu.parallel) relies on.
+Results are sorted (among real rows) and bit-exact reproducible — the
+property the multi-device hash-prefix merge (kmers_tpu.parallel) relies on.
 
 Invalid/masked windows are routed to the all-ones sentinel, which sorts
 last and is dropped; callers must keep K*bps <= 62 so real registers can
@@ -41,10 +43,17 @@ SENTINEL = 0xFFFFFFFF
 
 
 def _run_length_encode(shi, slo, weights=None):
-    """Dense (uniq_hi, uniq_lo, counts, n_unique) of a pre-sorted stream.
+    """(uniq_hi, uniq_lo, counts, n_unique) of a pre-sorted stream.
 
     ``weights`` (optional, int32) are summed per run; default weight is 1.
     Scatter- and gather-free (see module docstring).
+
+    The table is *sentinel-interspersed*, not front-packed: each run's
+    last element keeps the kmer and carries the run's total; every other
+    position is sentinel/zero padding.  Real rows remain in sorted order.
+    Front-packing would cost a second full stable sort (measured ~40% of
+    the counting pipeline on TPU) and no consumer needs it — downstream
+    merges re-sort, and host extraction masks with ``counts > 0``.
     """
     n = shi.shape[0]
     sent = jnp.asarray(SENTINEL, _U32)
@@ -63,20 +72,12 @@ def _run_length_encode(shi, slo, weights=None):
     # max of (first ? wcum - w : 0) carries the latest start's offset.
     start_w = lax.cummax(jnp.where(first, wcum - w, 0))
     run_total = wcum - start_w
-    # stable partition: run ends (one per distinct kmer, already in sorted
-    # order) move to the front; everything else keeps order behind them.
-    not_last = (~is_last).astype(jnp.uint8)
-    _, uniq_hi, uniq_lo, counts = lax.sort(
-        (not_last, shi, slo, run_total), num_keys=1, is_stable=True
-    )
-    # positions beyond the run count hold interior (non-end) elements:
-    # mask them to sentinel/zero padding
+    is_sentinel = (shi == sent) & (slo == sent)
+    emit = is_last & ~is_sentinel
+    uniq_hi = jnp.where(emit, shi, sent)
+    uniq_lo = jnp.where(emit, slo, sent)
+    counts = jnp.where(emit, run_total, 0)
     n_runs = jnp.sum(first.astype(_I32))
-    in_table = jnp.arange(n, dtype=_I32) < n_runs
-    uniq_hi = jnp.where(in_table, uniq_hi, sent)
-    uniq_lo = jnp.where(in_table, uniq_lo, sent)
-    is_sentinel = (uniq_hi == sent) & (uniq_lo == sent)
-    counts = jnp.where(in_table & ~is_sentinel, counts, 0)
     # a real sentinel run (masked windows) sorts last in the input stream
     has_sentinel = (shi[-1] == sent) & (slo[-1] == sent)
     n_unique = n_runs - has_sentinel.astype(_I32)
@@ -87,10 +88,10 @@ def _run_length_encode(shi, slo, weights=None):
 def sort_count(hi, lo, valid=None):
     """Count distinct kmers in a U64 stream.
 
-    Returns ``(uniq_hi, uniq_lo, counts, n_unique)`` where the first
-    ``n_unique`` slots hold the sorted distinct kmers and their
-    multiplicities; remaining slots are sentinel/zero padding (static
-    shapes — callers slice with ``n_unique`` host-side, or mask with
+    Returns ``(uniq_hi, uniq_lo, counts, n_unique)``: a sentinel-
+    interspersed table holding each of the ``n_unique`` sorted distinct
+    kmers exactly once with its multiplicity; all other slots are
+    sentinel/zero padding (static shapes — callers mask with
     ``counts > 0``).
     """
     sent = jnp.asarray(SENTINEL, _U32)

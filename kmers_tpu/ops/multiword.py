@@ -139,15 +139,12 @@ def sort_count_mw(limbs, valid=None):
     wcum = jnp.arange(1, n + 1, dtype=_I32)
     start_w = lax.cummax(jnp.where(first, wcum - 1, 0))
     run_total = wcum - start_w
-    not_last = (~is_last).astype(jnp.uint8)
-    packed = lax.sort(
-        (not_last, sflag, *slimbs, run_total), num_keys=1, is_stable=True
-    )
-    uflag, ulimbs, counts = packed[1], packed[2:-1], packed[-1]
+    # sentinel-interspersed emission: each run's last element keeps the
+    # kmer and total; no compaction pass (see ops.count module docstring)
+    emit = is_last & (sflag == 0)
+    ulimbs = tuple(jnp.where(emit, x, ones) for x in slimbs)
+    counts = jnp.where(emit, run_total, 0)
     n_runs = jnp.sum(first.astype(_I32))
-    in_table = (jnp.arange(n, dtype=_I32) < n_runs) & (uflag == 0)
-    ulimbs = tuple(jnp.where(in_table, x, ones) for x in ulimbs)
-    counts = jnp.where(in_table, counts, 0)
     # n_runs counts the invalid group as one run when present (it sorts last)
     n_unique = n_runs - (sflag[-1] == 1).astype(_I32)
     return ulimbs, counts, n_unique
