@@ -49,13 +49,25 @@ class ShardedCountConfig:
     #: FxHash spreads kmers near-uniformly, so a small factor suffices.
     #: Overflow is detected and reported, never silently dropped.
     bucket_factor: float = 2.0
+    #: use the fused Mosaic window kernel per device; None = auto (TPU only).
+    use_pallas: bool | None = None
+    #: run the kernel in interpreter mode (CPU testing of the kernel path).
+    pallas_interpret: bool = False
 
     def __post_init__(self):
         if not 1 <= self.K <= 31:
             raise ValueError("sharded counting supports 1 <= K <= 31")
 
 
-def _device_body(shard_bytes, K: int, n_dev: int, cap: int, axis: str):
+def _device_body(
+    shard_bytes,
+    K: int,
+    n_dev: int,
+    cap: int,
+    axis: str,
+    use_pallas: bool = False,
+    interpret: bool = False,
+):
     """Per-device SPMD body (runs under shard_map).
 
     ``shard_bytes``: (1, shard_len + K - 1) uint8 — this device's bases
@@ -76,10 +88,19 @@ def _device_body(shard_bytes, K: int, n_dev: int, cap: int, axis: str):
     # shard's body, so body instances cover every global byte exactly once)
     body_len = data.shape[0] - (K - 1)
     invalid = (~(certain | _ambig))[:body_len]
-    hi, lo = canonical_windows_from_codes(codes, K)
-    valid = window_valid_mask(certain, K)
+    if use_pallas:
+        from ..ops.pallas.window_kernel import canonical_windows_masked_pallas
 
-    # local aggregation: dense sentinel-padded (kmer, count) table
+        # invalid/out-of-range windows come back pre-sentineled
+        hi_om, lo_om = canonical_windows_masked_pallas(
+            codes, certain, K, interpret=interpret
+        )
+        hi, lo, valid = hi_om.reshape(-1), lo_om.reshape(-1), None
+    else:
+        hi, lo = canonical_windows_from_codes(codes, K)
+        valid = window_valid_mask(certain, K)
+
+    # local aggregation: sentinel-interspersed (kmer, count) table
     uh, ul, cnt, _ = sort_count(hi, lo, valid)
     uh, ul, cnt, nu, overflow = exchange_and_merge(uh, ul, cnt, n_dev, cap, axis)
     n_invalid = jax.lax.psum(jnp.sum(invalid), axis)
@@ -153,7 +174,14 @@ def exchange_and_merge(uh, ul, cnt, n_dev: int, cap: int, axis: str):
     return uh, ul, cnt, nu, overflow
 
 
-def sharded_count_step(mesh: Mesh, K: int, shard_len: int, cap: int):
+def sharded_count_step(
+    mesh: Mesh,
+    K: int,
+    shard_len: int,
+    cap: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
+):
     """Build the jitted SPMD counting step for a fixed geometry.
 
     Returns a function of a (n_dev, shard_len + K - 1) uint8 array sharded
@@ -161,12 +189,22 @@ def sharded_count_step(mesh: Mesh, K: int, shard_len: int, cap: int):
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    body = partial(_device_body, K=K, n_dev=n_dev, cap=cap, axis=axis)
+    body = partial(
+        _device_body,
+        K=K,
+        n_dev=n_dev,
+        cap=cap,
+        axis=axis,
+        use_pallas=use_pallas,
+        interpret=interpret,
+    )
     mapped = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=P(axis, None),
         out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis), P(axis), P(axis)),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation
+        check_vma=not use_pallas,
     )
     return jax.jit(mapped)
 
@@ -213,7 +251,14 @@ def sharded_canonical_count(
     shards, shard = _shard_with_halo(arr, n_dev, K)
     n_win = shard + K - 1 - K + 1  # windows per shard == shard
     cap = int(np.ceil(n_win * config.bucket_factor / n_dev))
-    step = sharded_count_step(mesh, K, shard, cap)
+    use_pallas = (
+        jax.default_backend() not in ("cpu",)
+        if config.use_pallas is None
+        else config.use_pallas
+    )
+    step = sharded_count_step(
+        mesh, K, shard, cap, use_pallas, config.pallas_interpret
+    )
     axis = mesh.axis_names[0]
     sharding = NamedSharding(mesh, P(axis, None))
     shards_dev = jax.device_put(shards, sharding)

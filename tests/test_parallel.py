@@ -255,3 +255,16 @@ class TestShardedMultiword:
             sharded_canonical_count_mw("ACGT" * 100, K=31, mesh=mesh)
         with pytest.raises(EncodeError):
             sharded_canonical_count_mw("ACGT!" * 100, K=33, mesh=mesh)
+
+
+class TestShardedPallasPath:
+    @pytest.mark.parametrize("n_dev", [1, 3])
+    def test_kernel_path_parity(self, sample, n_dev):
+        # the fused Mosaic kernel inside shard_map (interpreter mode on CPU)
+        mesh = data_mesh(n_dev)
+        cfg = ShardedCountConfig(K=31, use_pallas=True, pallas_interpret=True)
+        k, c = sharded_canonical_count(sample[:6000], cfg, mesh)
+        k1, c1 = sharded_canonical_count(
+            sample[:6000], ShardedCountConfig(K=31), mesh
+        )
+        assert np.array_equal(k, k1) and np.array_equal(c, c1)
