@@ -98,7 +98,10 @@ def sort_count(hi, lo, valid=None):
     if valid is not None:
         hi = jnp.where(valid, hi, sent)
         lo = jnp.where(valid, lo, sent)
-    shi, slo = lax.sort((hi, lo), num_keys=2)
+    # unstable: (hi, lo) fully determines the comparator, so equal elements
+    # are bit-identical and the RLE is order-agnostic within a run
+    # (measured on v5e @ 2^26: stable 297 ms, unstable 209 ms)
+    shi, slo = lax.sort((hi, lo), num_keys=2, is_stable=False)
     return _run_length_encode(shi, slo)
 
 
@@ -113,5 +116,7 @@ def merge_sorted_counts(hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b):
     hi = jnp.concatenate([hi_a, hi_b])
     lo = jnp.concatenate([lo_a, lo_b])
     cnt = jnp.concatenate([cnt_a, cnt_b]).astype(_I32)
-    shi, slo, scnt = lax.sort((hi, lo, cnt), num_keys=2)
+    # unstable is safe: RLE sums the counts over each equal-key run, so the
+    # order of same-key rows from the two tables is irrelevant
+    shi, slo, scnt = lax.sort((hi, lo, cnt), num_keys=2, is_stable=False)
     return _run_length_encode(shi, slo, scnt)

@@ -128,7 +128,8 @@ def sort_count_mw(limbs, valid=None):
     else:
         flag = (~valid).astype(jnp.uint8)
         limbs = tuple(jnp.where(valid, x, ones) for x in limbs)
-    sorted_all = lax.sort((flag, *limbs), num_keys=M + 1)
+    # unstable: every operand is a key, so tied elements are bit-identical
+    sorted_all = lax.sort((flag, *limbs), num_keys=M + 1, is_stable=False)
     sflag, slimbs = sorted_all[0], sorted_all[1:]
     neq = jnp.zeros(n - 1, bool)
     for x in slimbs:

@@ -121,7 +121,10 @@ def exchange_and_merge_mw(ulimbs, cnt, n_dev: int, cap: int, axis: str):
     flat = tuple(x.reshape(-1) for x in blimbs)
     fc = bc.reshape(-1)
     flag = (fc == 0).astype(jnp.uint8)
-    sorted_all = lax.sort((flag, *flat, fc), num_keys=M + 1)
+    # unstable is safe: the RLE sums fc over each equal-key run
+    sorted_all = lax.sort(
+        (flag, *flat, fc), num_keys=M + 1, is_stable=False
+    )
     sflag, slimbs2, scnt2 = sorted_all[0], sorted_all[1:-1], sorted_all[-1]
     ulimbs, counts, nu = _rle_mw(sflag, slimbs2, scnt2)
     return ulimbs, counts, nu, overflow

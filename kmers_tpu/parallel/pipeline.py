@@ -165,8 +165,11 @@ def exchange_and_merge(uh, ul, cnt, n_dev: int, cap: int, axis: str):
     bh, bl, bc = a2a(bh), a2a(bl), a2a(bc)
 
     # merge the n_dev received tables (weighted run-length encode)
+    # unstable is safe: the RLE sums counts over each equal-(hi,lo) run
     shi, slo, scnt2 = jax.lax.sort(
-        (bh.reshape(-1), bl.reshape(-1), bc.reshape(-1)), num_keys=2
+        (bh.reshape(-1), bl.reshape(-1), bc.reshape(-1)),
+        num_keys=2,
+        is_stable=False,
     )
     from ..ops.count import _run_length_encode
 
