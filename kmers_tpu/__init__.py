@@ -19,21 +19,25 @@ re-designed TPU-first:
   pure-Python fallback).
 """
 
-from .symbols import DNA, RNA, AminoAcid, EncodeError
+from .symbols import DNA, RNA, AminoAcid, NucleicAcid, EncodeError
 from .alphabets import (
     Alphabet,
     NucleicAcidAlphabet,
+    DNAAlphabet,
     DNAAlphabet2,
     DNAAlphabet4,
+    RNAAlphabet,
     RNAAlphabet2,
     RNAAlphabet4,
     AminoAcidAlphabet,
     CharAlphabet,
     ASCII_SKIPPING_LUT,
 )
-from .seq import Seq
+from .seq import Seq, BioSequence
 from .kmer import (
     Kmer,
+    Mer,
+    KmerType,
     DNAKmer,
     RNAKmer,
     AAKmer,
@@ -41,6 +45,9 @@ from .kmer import (
     RNACodon,
     mer,
     fx_hash,
+    derive_type,
+    derive_words,
+    n_words,
 )
 from .construction import (
     RecodingScheme,
@@ -65,6 +72,7 @@ from .revtrans import (
     ReverseGeneticCode,
     rev_standard_genetic_code,
     reverse_translate,
+    reverse_translate_into,
 )
 from .functions import (
     translate,
@@ -80,6 +88,8 @@ from .functions import (
     pop,
     pop_first,
     delete,
+    as_integer,
+    from_integer,
 )
 from .random import rand_kmer, rand_kmers, rand_kmers_device, rand_symbol
 from .iterators import (

@@ -32,6 +32,8 @@ __all__ = [
     "RNAAlphabet4",
     "AminoAcidAlphabet",
     "CharAlphabet",
+    "DNAAlphabet",
+    "RNAAlphabet",
     "EncodeError",
     "ASCII_SKIPPING_LUT",
     "TWOBIT_ALPHABETS",
@@ -202,6 +204,25 @@ class AminoAcidAlphabet(Alphabet):
         if encoding > 0x1B:
             raise EncodeError(self, encoding)
         return AminoAcid.from_code(encoding)
+
+
+def DNAAlphabet(bits: int) -> Alphabet:
+    """Parametric alphabet lookup: ``DNAAlphabet(2)`` / ``DNAAlphabet(4)``
+    (the reference's ``DNAAlphabet{N}`` type parameter)."""
+    if bits == 2:
+        return DNAAlphabet2()
+    if bits == 4:
+        return DNAAlphabet4()
+    raise ValueError("DNAAlphabet bits must be 2 or 4")
+
+
+def RNAAlphabet(bits: int) -> Alphabet:
+    """Parametric alphabet lookup: ``RNAAlphabet(2)`` / ``RNAAlphabet(4)``."""
+    if bits == 2:
+        return RNAAlphabet2()
+    if bits == 4:
+        return RNAAlphabet4()
+    raise ValueError("RNAAlphabet bits must be 2 or 4")
 
 
 class CharAlphabet(Alphabet):

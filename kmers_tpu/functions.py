@@ -25,6 +25,8 @@ __all__ = [
     "pop",
     "pop_first",
     "delete",
+    "as_integer",
+    "from_integer",
 ]
 
 
@@ -79,3 +81,21 @@ def pop_first(kmer: Kmer) -> Kmer:
 def delete(codon_set, codon):
     """CodonSet element removal (the reference exports ``delete``)."""
     return codon_set.delete(codon)
+
+
+def as_integer(kmer: Kmer):
+    """Packed encoding in the smallest fitting unsigned type
+    (/root/reference/src/kmer.jl:305-326)."""
+    return kmer.as_integer()
+
+
+def from_integer(kmer_type, u) -> Kmer:
+    """Rebuild a kmer from its integer encoding.
+
+    ``kmer_type`` is a :class:`~kmers_tpu.kmer.KmerType` (from
+    ``derive_type``) or an existing :class:`Kmer` used as the type template
+    — the analogue of the reference's ``from_integer(typeof(k), u)``
+    (/root/reference/src/kmer.jl:361-384)."""
+    if isinstance(kmer_type, Kmer):
+        return Kmer.from_integer(kmer_type.alphabet, kmer_type.K, u)
+    return kmer_type.from_integer(u)

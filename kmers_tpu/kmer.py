@@ -46,6 +46,9 @@ __all__ = [
     "fx_hash",
     "derive_words",
     "n_words",
+    "Mer",
+    "KmerType",
+    "derive_type",
 ]
 
 _M64 = (1 << 64) - 1
@@ -489,6 +492,92 @@ def RNACodon(source) -> Kmer:
     return Kmer(RNAAlphabet2(), source, 3)
 
 
+class _MerMeta(type):
+    def __instancecheck__(cls, obj):
+        K = getattr(cls, "_K", None)
+        return isinstance(obj, Kmer) and (K is None or obj.K == K)
+
+    def __getitem__(cls, K):
+        return _MerMeta(f"Mer[{int(K)}]", (), {"_K": int(K)})
+
+
+class Mer(metaclass=_MerMeta):
+    """K-only kmer kind: ``isinstance(x, Mer[31])`` matches any alphabet's
+    31-mer, ``isinstance(x, Mer)`` any kmer — the dispatch role of the
+    reference's ``Mer{K} = Kmer{<:Alphabet,K}`` alias
+    (/root/reference/src/kmer.jl:72)."""
+
+    _K = None
+
+    def __new__(cls, *_a, **_k):
+        raise TypeError(
+            "Mer is a dispatch kind, not a constructor; use Kmer(...) "
+            "or derive_type(alphabet, K)(source)"
+        )
+
+
+class KmerType:
+    """A fully derived kmer 'type': alphabet + K (+ word count N).
+
+    The analogue of the reference's concrete ``Kmer{A,K,N}`` as produced
+    by ``derive_type`` (/root/reference/src/kmer.jl:144-145): callable as
+    a constructor, and carries the compile-time geometry.
+    """
+
+    __slots__ = ("alphabet", "K")
+
+    def __init__(self, alphabet, K: int):
+        if not isinstance(alphabet, Alphabet):
+            alphabet = alphabet()
+        if K < 0:
+            raise ValueError("K must be >= 0")
+        object.__setattr__(self, "alphabet", alphabet)
+        object.__setattr__(self, "K", int(K))
+
+    def __setattr__(self, *_):
+        raise AttributeError("KmerType is immutable")
+
+    @property
+    def N(self) -> int:
+        return n_words(self.alphabet, self.K)
+
+    def __call__(self, source) -> Kmer:
+        return Kmer(self.alphabet, source, self.K)
+
+    def from_integer(self, u) -> Kmer:
+        return Kmer.from_integer(self.alphabet, self.K, u)
+
+    def zero(self) -> Kmer:
+        """All-zero-encoding kmer (reference ``zero_kmer``, kmer.jl:147-152)."""
+        return Kmer.unsafe(self.alphabet, self.K, 0)
+
+    def __instancecheck__(self, obj):  # pragma: no cover - convenience
+        return (
+            isinstance(obj, Kmer)
+            and obj.K == self.K
+            and obj.alphabet == self.alphabet
+        )
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, KmerType)
+            and other.alphabet == self.alphabet
+            and other.K == self.K
+        )
+
+    def __hash__(self):
+        return hash((self.alphabet, self.K, "KmerType"))
+
+    def __repr__(self):
+        return f"KmerType({self.alphabet!r}, K={self.K}, N={self.N})"
+
+
+def derive_type(alphabet, K: int) -> KmerType:
+    """Derive the concrete kmer type for (alphabet, K)
+    (/root/reference/src/kmer.jl:144-145)."""
+    return KmerType(alphabet, K)
+
+
 _MER_FLAGS = {
     "d": DNAAlphabet2,
     "dna": DNAAlphabet2,
@@ -507,3 +596,9 @@ def mer(s: str, flag: str = "d") -> Kmer:
     except KeyError:
         raise ValueError(f"Invalid type flag: {flag!r}") from None
     return Kmer(A(), s)
+
+
+# Kmer participates in the BioSequence kind (reference: Kmer <: BioSequence).
+from .seq import BioSequence as _BioSequence  # noqa: E402  (leaf import, no cycle)
+
+_BioSequence.register(Kmer)

@@ -199,3 +199,14 @@ def reverse_translate(s, code: ReverseGeneticCode = rev_standard_genetic_code):
     if isinstance(s, (Seq, Kmer)):
         return [code[aa] for aa in s]
     return [code[aa] for aa in s]
+
+
+def reverse_translate_into(
+    dest: list, s, code: ReverseGeneticCode = rev_standard_genetic_code
+) -> list:
+    """Fill ``dest`` (a mutable list) with the CodonSets of ``s`` and return
+    it — the reference's in-place ``reverse_translate!(v, seq)``, which
+    resizes ``v`` to ``length(seq)``
+    (/root/reference/src/revtrans.jl:157-193)."""
+    dest[:] = (code[aa] for aa in s)
+    return dest

@@ -10,6 +10,8 @@ alphabet), trading density for simplicity.
 
 from __future__ import annotations
 
+import abc
+
 import numpy as np
 
 from .alphabets import (
@@ -26,7 +28,16 @@ from .genetic_codes import (
 )
 from .symbols import RNA
 
-__all__ = ["Seq"]
+__all__ = ["Seq", "BioSequence"]
+
+
+class BioSequence(abc.ABC):
+    """Abstract kind spanning every encoded sequence type (the reference's
+    ``BioSequence`` supertype): ``isinstance(x, BioSequence)`` matches
+    :class:`Seq` and :class:`~kmers_tpu.kmer.Kmer`.  Not constructible."""
+
+    def __new__(cls, *_a, **_k):
+        raise TypeError("BioSequence is abstract; construct Seq or Kmer")
 
 
 def _codes_dtype(alphabet: Alphabet):
@@ -208,3 +219,6 @@ class Seq:
         if alternative_start and n_aa:
             out[0] = 0x0C  # AA_M
         return Seq.from_codes(AminoAcidAlphabet(), out)
+
+
+BioSequence.register(Seq)

@@ -167,6 +167,12 @@ for _cls, _chars in ((DNA, _DNA_CHARS), (RNA, _RNA_CHARS)):
         setattr(_cls, _name, _s)
 
 
+#: Public name for the nucleotide symbol base (the reference re-exports
+#: BioSymbols' ``NucleicAcid``): ``isinstance(x, NucleicAcid)`` matches
+#: both DNA and RNA symbols.
+NucleicAcid = _Nucleotide
+
+
 class AminoAcid(_Symbol):
     __slots__ = ()
 
