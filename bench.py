@@ -35,11 +35,15 @@ def main():
     out = _chunk_count(data, K, use_pallas)
     int(np.asarray(out[3]))
 
-    reps = 3
+    # steady-state streaming throughput: enqueue every rep (dispatch is
+    # async), fetch once at the end — a per-rep fetch would add one full
+    # host<->device round trip (~26 ms through a remote transport) per
+    # chunk, which a streaming pipeline does not pay
+    reps = 4
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = _chunk_count(data, K, use_pallas)
-        int(np.asarray(out[3]))  # forces completion of the whole dispatch
+    outs = [_chunk_count(data, K, use_pallas) for _ in range(reps)]
+    for out in outs:
+        int(np.asarray(out[3]))  # forces completion of the whole stream
     dt = (time.perf_counter() - t0) / reps
 
     bases_per_sec = L / dt

@@ -129,8 +129,13 @@ def canonical_count_bytes(data, config: CountConfig = CountConfig()):
     # of SURVEY.md §2.7 item 4, on one device)
     step = max(config.chunk_size - (K - 1), K)
     acc = None  # (uh, ul, cnt) device arrays, sentinel-padded
-    total_invalid = 0
-    total_ambig = 0
+    # error counters accumulate ON DEVICE and are fetched once after the
+    # loop: a per-chunk int() fetch costs a full host round trip (~26 ms
+    # through a remote transport), serializing the stream; semantics are
+    # unchanged since errors were only ever raised after the full pass
+    dev_invalid = jnp.zeros((), jnp.int32)
+    dev_ambig = jnp.zeros((), jnp.int32)
+    total_pad = 0
     use_pallas = (
         _on_tpu() if config.use_pallas is None else config.use_pallas
     )
@@ -149,8 +154,9 @@ def canonical_count_bytes(data, config: CountConfig = CountConfig()):
         uh, ul, cnt, nu, n_inv, n_amb = _chunk_count(
             jnp.asarray(chunk), K, use_pallas
         )
-        total_invalid += int(n_inv)
-        total_ambig += int(n_amb) - pad
+        dev_invalid = dev_invalid + n_inv.astype(jnp.int32)
+        dev_ambig = dev_ambig + n_amb.astype(jnp.int32)
+        total_pad += pad
         if acc is None:
             acc = (uh, ul, cnt)
         else:
@@ -159,6 +165,8 @@ def canonical_count_bytes(data, config: CountConfig = CountConfig()):
             )
             acc = (uh2, ul2, cnt2)
 
+    total_invalid = int(dev_invalid)
+    total_ambig = int(dev_ambig) - total_pad
     if total_invalid:
         raise EncodeError(DNAAlphabet2(), "<batch input>")
     if total_ambig and not config.skip_ambiguous:
