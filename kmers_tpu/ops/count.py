@@ -29,6 +29,8 @@ never equal the sentinel (true for the K<=31 DNA north star).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -84,15 +86,16 @@ def _run_length_encode(shi, slo, weights=None):
     return uniq_hi, uniq_lo, counts, n_unique
 
 
-@jax.jit
-def sort_count(hi, lo, valid=None):
+@partial(jax.jit, static_argnames=("use_pallas", "interpret"))
+def sort_count(hi, lo, valid=None, use_pallas: bool = False, interpret: bool = False):
     """Count distinct kmers in a U64 stream.
 
     Returns ``(uniq_hi, uniq_lo, counts, n_unique)``: a sentinel-
     interspersed table holding each of the ``n_unique`` sorted distinct
     kmers exactly once with its multiplicity; all other slots are
     sentinel/zero padding (static shapes — callers mask with
-    ``counts > 0``).
+    ``counts > 0``).  ``use_pallas`` selects the fused single-pass RLE
+    kernel (TPU backends; ``interpret`` for CPU tests).
     """
     sent = jnp.asarray(SENTINEL, _U32)
     if valid is not None:
@@ -102,6 +105,10 @@ def sort_count(hi, lo, valid=None):
     # are bit-identical and the RLE is order-agnostic within a run
     # (measured on v5e @ 2^26: stable 297 ms, unstable 209 ms)
     shi, slo = lax.sort((hi, lo), num_keys=2, is_stable=False)
+    if use_pallas:
+        from .pallas.rle_kernel import rle_unit_pallas
+
+        return rle_unit_pallas(shi, slo, interpret=interpret)
     return _run_length_encode(shi, slo)
 
 

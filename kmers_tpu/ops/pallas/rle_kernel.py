@@ -1,0 +1,150 @@
+"""Single-pass run-length-encode Pallas kernel for sorted kmer streams.
+
+Replaces the XLA formulation in :func:`kmers_tpu.ops.count._run_length_encode`
+(neighbor compares + ``lax.cummax`` + wheres — ~6 HBM passes and two scan
+HLOs, measured ~31 ms at 2^26 on v5e) with one fused pass (~2 GB of HBM
+traffic total): the grid walks the stream sequentially, each block computes
+run boundaries from rolled lane vectors, run-start positions from an
+in-block log-step max-scan, and carries (last key, last run-start) across
+blocks in SMEM scratch — the shard-level analogue of the reference's
+cross-word carry propagation (/root/reference/src/tuple_bitflipping.jl:24-46).
+
+Semantics are identical to the unit-weight ``_run_length_encode``: the
+table is sentinel-interspersed — each run's last element keeps the kmer
+and its total; everything else is sentinel/zero padding.  Callers compute
+``n_unique = sum(counts > 0)``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+try:  # pallas requires a TPU/Mosaic or interpreter backend
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+__all__ = ["rle_unit_pallas"]
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+_SENT = 0xFFFFFFFF
+
+
+def _roll_right(x, k: int, W: int, interpret: bool):
+    """Lane l receives the value of lane l-k (circularly)."""
+    if interpret:
+        return jnp.roll(x, k, axis=1)
+    return pltpu.roll(x, k, axis=1)
+
+
+def _kernel(
+    hi_ref, lo_ref, nhi_ref, nlo_ref, uh_ref, ul_ref, cnt_ref,
+    keys_scr, s_scr, *, W: int, interpret: bool,
+):
+    pid = pl.program_id(0)
+    hi = hi_ref[:]  # (1, W)
+    lo = lo_ref[:]
+    lane = jax.lax.broadcasted_iota(_I32, (1, W), 1)
+    pos = pid * W + lane  # global linear position (n < 2^31)
+    sent = jnp.asarray(_SENT, _U32)
+
+    # run starts: compare with the previous element (cross-block via carry)
+    ph = _roll_right(hi, 1, W, interpret)
+    plo = _roll_right(lo, 1, W, interpret)
+    ph = jnp.where(lane == 0, keys_scr[0], ph)
+    plo = jnp.where(lane == 0, keys_scr[1], plo)
+    first = (hi != ph) | (lo != plo) | ((lane == 0) & (pid == 0))
+
+    # run ends: compare with the next element (cross-block via the next
+    # tile's first element; an extra padded tile guarantees it exists)
+    nh = _roll_right(hi, W - 1, W, interpret)
+    nl = _roll_right(lo, W - 1, W, interpret)
+    nh = jnp.where(lane == W - 1, nhi_ref[0, 0], nh)
+    nl = jnp.where(lane == W - 1, nlo_ref[0, 0], nl)
+    is_last = (hi != nh) | (lo != nl)
+
+    # run-start position at every element: log-step max-scan of
+    # (first ? pos : -1), seeded with the previous block's carry
+    x = jnp.where(first, pos, -1)
+    k = 1
+    while k < W:
+        sh = _roll_right(x, k, W, interpret)
+        x = jnp.maximum(x, jnp.where(lane < k, -1, sh))
+        k *= 2
+    carry_s = jnp.where(pid == 0, 0, s_scr[0])
+    start = jnp.maximum(x, carry_s)
+
+    is_sent = (hi == sent) & (lo == sent)
+    emit = is_last & (~is_sent)
+    uh_ref[:] = jnp.where(emit, hi, sent)
+    ul_ref[:] = jnp.where(emit, lo, sent)
+    cnt_ref[:] = jnp.where(emit, pos - start + 1, 0)
+
+    # carries for the next block (grid steps execute in order on TPU)
+    keys_scr[0] = hi[0, W - 1]
+    keys_scr[1] = lo[0, W - 1]
+    s_scr[0] = start[0, W - 1]
+
+
+@partial(jax.jit, static_argnames=("W", "interpret"))
+def rle_unit_pallas(shi, slo, W: int = 4096, interpret: bool = False):
+    """Unit-weight RLE of a pre-sorted (hi, lo) stream.
+
+    Returns ``(uniq_hi, uniq_lo, counts, n_unique)`` with the same
+    sentinel-interspersed contract as
+    :func:`kmers_tpu.ops.count._run_length_encode`.
+    """
+    n = shi.shape[0]
+    if n == 0:
+        return (
+            jnp.zeros(0, _U32),
+            jnp.zeros(0, _U32),
+            jnp.zeros(0, _I32),
+            jnp.zeros((), _I32),
+        )
+    grid = max(-(-n // W), 1)
+    sent = jnp.asarray(_SENT, _U32)
+    # pad to (grid+1) tiles with the sentinel: padding merges into (or
+    # forms) a trailing sentinel run, which is never emitted; the extra
+    # tile guarantees the next-tile carry read exists for the last block
+    padded = (grid + 1) * W
+    hi_p = jnp.full((1, padded), sent, _U32).at[0, :n].set(shi)
+    lo_p = jnp.full((1, padded), sent, _U32).at[0, :n].set(slo)
+    kern = partial(_kernel, W=W, interpret=interpret)
+    uh, ul, cnt = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, i + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, i + 1), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, grid * W), _U32),
+            jax.ShapeDtypeStruct((1, grid * W), _U32),
+            jax.ShapeDtypeStruct((1, grid * W), _I32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2,), _U32),
+            pltpu.SMEM((1,), _I32),
+        ],
+        interpret=interpret,
+    )(hi_p, lo_p, hi_p, lo_p)
+    uh = uh.reshape(-1)[:n]
+    ul = ul.reshape(-1)[:n]
+    cnt = cnt.reshape(-1)[:n]
+    n_unique = jnp.sum((cnt > 0).astype(_I32))
+    return uh, ul, cnt, n_unique

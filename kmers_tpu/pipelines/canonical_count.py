@@ -89,7 +89,7 @@ def _chunk_count(bytes_u8, K: int, use_pallas: bool = False):
     hi, lo, valid, n_invalid, n_ambig = _chunk_canonical(
         bytes_u8, K, use_pallas
     )
-    uh, ul, cnt, nu = sort_count(hi, lo, valid)
+    uh, ul, cnt, nu = sort_count(hi, lo, valid, use_pallas=use_pallas)
     return uh, ul, cnt, nu, n_invalid, n_ambig
 
 

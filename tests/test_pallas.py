@@ -161,3 +161,91 @@ class TestHashKernel:
         assert np.array_equal(hh[valid], want_h[valid])
         assert np.array_equal(hl[valid], want_l[valid])
         assert (hh[~valid] == 0xFFFFFFFF).all() and (hl[~valid] == 0xFFFFFFFF).all()
+
+
+class TestRleKernel:
+    @staticmethod
+    def _check(hi, lo, W=256):
+        import jax.numpy as jnp
+        from jax import lax
+
+        from kmers_tpu.ops.count import _run_length_encode
+        from kmers_tpu.ops.pallas.rle_kernel import rle_unit_pallas
+
+        shi, slo = lax.sort(
+            (jnp.asarray(hi), jnp.asarray(lo)), num_keys=2, is_stable=False
+        )
+        want = _run_length_encode(shi, slo)
+        got = rle_unit_pallas(shi, slo, W=W, interpret=True)
+        for g, w in zip(got, want):
+            assert np.array_equal(np.asarray(g), np.asarray(w))
+
+    def test_random_duplicates(self, rng):
+        n = 5000
+        hi = rng.integers(0, 50, n).astype(np.uint32)
+        lo = rng.integers(0, 4, n).astype(np.uint32)
+        self._check(hi, lo)
+
+    def test_with_sentinel_tail(self, rng):
+        n = 3000
+        hi = rng.integers(0, 20, n).astype(np.uint32)
+        lo = rng.integers(0, 3, n).astype(np.uint32)
+        sent = np.uint32(0xFFFFFFFF)
+        hi[-100:] = sent
+        lo[-100:] = sent
+        self._check(hi, lo)
+
+    def test_all_unique(self, rng):
+        n = 1000
+        hi = np.arange(n, dtype=np.uint32)
+        lo = np.arange(n, dtype=np.uint32)
+        self._check(hi, lo)
+
+    def test_single_run_spanning_blocks(self):
+        # one run longer than several W=256 blocks: exercises the
+        # cross-block run-start and last-key carries
+        n = 2000
+        hi = np.zeros(n, np.uint32)
+        lo = np.zeros(n, np.uint32)
+        self._check(hi, lo)
+
+    def test_run_boundary_at_block_edge(self):
+        # runs switching exactly at multiples of W
+        W = 256
+        hi = np.repeat(np.arange(8, dtype=np.uint32), W)
+        lo = np.zeros(8 * W, np.uint32)
+        self._check(hi, lo, W=W)
+
+    def test_length_not_multiple_of_w(self, rng):
+        n = 777
+        hi = rng.integers(0, 9, n).astype(np.uint32)
+        lo = rng.integers(0, 2, n).astype(np.uint32)
+        self._check(hi, lo)
+
+    def test_empty(self):
+        from kmers_tpu.ops.pallas.rle_kernel import rle_unit_pallas
+
+        uh, ul, cnt, nu = rle_unit_pallas(
+            np.zeros(0, np.uint32), np.zeros(0, np.uint32), interpret=True
+        )
+        assert uh.size == 0 and int(nu) == 0
+
+    def test_sort_count_use_pallas_interpret(self, rng):
+        from kmers_tpu.ops.count import sort_count
+
+        n = 4096
+        hi = rng.integers(0, 30, n).astype(np.uint32)
+        lo = rng.integers(0, 2, n).astype(np.uint32)
+        valid = rng.random(n) < 0.9
+        import jax.numpy as jnp
+
+        a = sort_count(jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(valid))
+        b = sort_count(
+            jnp.asarray(hi),
+            jnp.asarray(lo),
+            jnp.asarray(valid),
+            use_pallas=True,
+            interpret=True,
+        )
+        for x, y in zip(a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
