@@ -24,7 +24,13 @@ from .windows import (
     window_valid_mask_om,
 )
 from .hashing import fx_hash_u64, fx_hash_words
-from .count import sort_count, merge_sorted_counts, SENTINEL
+from .count import (
+    SENTINEL,
+    compact_counts,
+    merge_compact_tables,
+    merge_sorted_counts,
+    sort_count,
+)
 from .minimizer import sliding_min_u64, minimizers
 from .stats import popcount32, gc_count_u64
 from .translate_ops import (

@@ -35,7 +35,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["sort_count", "merge_sorted_counts", "SENTINEL"]
+__all__ = [
+    "sort_count",
+    "merge_sorted_counts",
+    "compact_counts",
+    "merge_compact_tables",
+    "SENTINEL",
+]
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -110,6 +116,113 @@ def sort_count(hi, lo, valid=None, use_pallas: bool = False, interpret: bool = F
 
         return rle_unit_pallas(shi, slo, interpret=interpret)
     return _run_length_encode(shi, slo)
+
+
+@jax.jit
+def compact_counts(uh, ul, cnt):
+    """Front-pack the real rows of a sentinel-interspersed count table.
+
+    Gather/scatter-free (both are serialized on TPU): every real row must
+    move left by ``d_i`` = number of sentinel rows before it — ``d`` is
+    nondecreasing, so the permutation decomposes into log2(n) conditional
+    shift-left-by-2^k passes (move exactly the rows whose ``d`` has bit k
+    set), each pure slicing + selects.  ~log2(n) fused HBM passes
+    (~70 ms at 2^26 on v5e) vs a full 3-operand sort (~370 ms measured).
+
+    Relative order of real rows is preserved (the table stays sorted);
+    the tail becomes sentinel/zero.  Same static shape in and out.
+    """
+    n = uh.shape[0]
+    sent = jnp.asarray(SENTINEL, _U32)
+    real = cnt > 0
+    nreal = (~real).astype(_I32)
+    d = jnp.cumsum(nreal) - nreal  # holes before each position
+    v = real
+    xs = (uh, ul, cnt.astype(_I32))
+    k = 0
+    while (1 << k) < n:
+        s = 1 << k
+
+        def sh(a):
+            return jnp.concatenate([a[s:], jnp.zeros(s, a.dtype)])
+
+        d_in = sh(d)
+        v_in = sh(v.astype(jnp.int8)).astype(bool)
+        take_in = v_in & (((d_in >> k) & 1) == 1)
+        stay = v & (((d >> k) & 1) == 0)
+        xs = tuple(
+            jnp.where(take_in, sh(x), jnp.where(stay, x, jnp.zeros_like(x)))
+            for x in xs
+        )
+        d = jnp.where(take_in, d_in, d)
+        v = take_in | stay
+        k += 1
+    uh2, ul2, cnt2 = xs
+    return (
+        jnp.where(v, uh2, sent),
+        jnp.where(v, ul2, sent),
+        jnp.where(v, cnt2, 0),
+    )
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(int(n - 1).bit_length(), 0)
+
+
+@jax.jit
+def merge_compact_tables(hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b):
+    """Merge two *sorted* count tables with a bitonic merge network.
+
+    Unlike :func:`merge_sorted_counts` (concat + full re-sort,
+    O(n log^2 n) comparator stages), a merge of two already-sorted
+    sequences needs a single bitonic merge: reverse B, concatenate, then
+    log2(n) distance-halving compare-exchange passes — each pass is pure
+    reshapes + min/max selects (no sort HLO).  Output size is
+    ``2 * next_pow2(max(len(a), len(b)))``; equal keys are summed by the
+    weighted RLE and the table is front-packed by :func:`compact_counts`.
+
+    Returns ``(uniq_hi, uniq_lo, counts, n_unique)``, compact and sorted.
+    This is the streaming-accumulator merge: with capacity-sliced inputs
+    its cost tracks the true distinct count, not the stream length.
+    """
+    half = _next_pow2(max(hi_a.shape[0], hi_b.shape[0], 1))
+    sent = jnp.asarray(SENTINEL, _U32)
+
+    def pad(h, l, c):
+        m = h.shape[0]
+        return (
+            jnp.concatenate([h, jnp.full(half - m, sent, _U32)]),
+            jnp.concatenate([l, jnp.full(half - m, sent, _U32)]),
+            jnp.concatenate([c.astype(_I32), jnp.zeros(half - m, _I32)]),
+        )
+
+    ah, al, ac = pad(hi_a, lo_a, cnt_a)
+    bh, bl, bc = pad(hi_b, lo_b, cnt_b)
+    xh = jnp.concatenate([ah, bh[::-1]])
+    xl = jnp.concatenate([al, bl[::-1]])
+    xc = jnp.concatenate([ac, bc[::-1]])
+    m = half.bit_length()  # log2(2 * half)
+    for k in range(m, 0, -1):
+        d = 1 << (k - 1)
+        h2 = xh.reshape(-1, 2, d)
+        l2 = xl.reshape(-1, 2, d)
+        c2 = xc.reshape(-1, 2, d)
+        th, bhh = h2[:, 0], h2[:, 1]
+        tl, bll = l2[:, 0], l2[:, 1]
+        tc, bcc = c2[:, 0], c2[:, 1]
+        le = (th < bhh) | ((th == bhh) & (tl <= bll))
+        xh = jnp.stack(
+            [jnp.where(le, th, bhh), jnp.where(le, bhh, th)], 1
+        ).reshape(-1)
+        xl = jnp.stack(
+            [jnp.where(le, tl, bll), jnp.where(le, bll, tl)], 1
+        ).reshape(-1)
+        xc = jnp.stack(
+            [jnp.where(le, tc, bcc), jnp.where(le, bcc, tc)], 1
+        ).reshape(-1)
+    uh, ul, cnt, nu = _run_length_encode(xh, xl, xc)
+    uh, ul, cnt = compact_counts(uh, ul, cnt)
+    return uh, ul, cnt, nu
 
 
 @jax.jit

@@ -22,7 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..alphabets import EncodeError, DNAAlphabet2
-from ..ops.count import merge_sorted_counts, sort_count
+from ..ops.count import (
+    _next_pow2,
+    compact_counts,
+    merge_compact_tables,
+    sort_count,
+)
 from ..ops.encode import classify_2bit
 from ..ops.windows import canonical_windows_from_codes, window_valid_mask
 
@@ -128,7 +133,15 @@ def canonical_count_bytes(data, config: CountConfig = CountConfig()):
     # no window is lost at a boundary (the shard-level carry propagation
     # of SURVEY.md §2.7 item 4, on one device)
     step = max(config.chunk_size - (K - 1), K)
-    acc = None  # (uh, ul, cnt) device arrays, sentinel-padded
+    # the accumulator is a *compact* table sliced to a power-of-two
+    # capacity tracking the true distinct count: per chunk the table is
+    # front-packed (compact_counts, gather-free log-shift) and merged
+    # with a bitonic merge (merge_compact_tables) instead of a full
+    # re-sort — so streaming memory and merge cost are bounded by the
+    # distinct-kmer count, not by stream length (the old concat+sort
+    # accumulator grew by chunk_size per chunk and could not stream a
+    # genome-scale input through HBM)
+    acc = None  # (uh, ul, cnt) compact device arrays, pow2 capacity
     # error counters accumulate ON DEVICE and are fetched once after the
     # loop: a per-chunk int() fetch costs a full host round trip (~26 ms
     # through a remote transport), serializing the stream; semantics are
@@ -157,13 +170,23 @@ def canonical_count_bytes(data, config: CountConfig = CountConfig()):
         dev_invalid = dev_invalid + n_inv.astype(jnp.int32)
         dev_ambig = dev_ambig + n_amb.astype(jnp.int32)
         total_pad += pad
+        if len(starts) == 1:
+            # single dispatch: no merge, no compaction needed (the host
+            # extraction below masks counts > 0) and no scalar fetch —
+            # keeps the one-chunk hot path fully asynchronous
+            acc = (uh, ul, cnt)
+            break
+        uh, ul, cnt = compact_counts(uh, ul, cnt)
+        bcap = _next_pow2(max(int(nu), 1))  # scalar fetch per chunk
+        uh, ul, cnt = uh[:bcap], ul[:bcap], cnt[:bcap]
         if acc is None:
             acc = (uh, ul, cnt)
         else:
-            uh2, ul2, cnt2, _ = merge_sorted_counts(
+            mh, ml, mc, mnu = merge_compact_tables(
                 acc[0], acc[1], acc[2], uh, ul, cnt
             )
-            acc = (uh2, ul2, cnt2)
+            cap = _next_pow2(max(int(mnu), 1))
+            acc = (mh[:cap], ml[:cap], mc[:cap])
 
     total_invalid = int(dev_invalid)
     total_ambig = int(dev_ambig) - total_pad

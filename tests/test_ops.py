@@ -249,6 +249,61 @@ class TestCount:
         _, counts = canonical_count(s, K=K)
         assert counts.sum() == len(s) - K + 1
 
+    def test_compact_counts(self, rng):
+        from kmers_tpu.ops.count import SENTINEL, compact_counts
+
+        for n in (1, 2, 65, 1000, 4096):
+            for p in (0.0, 0.3, 1.0):
+                real = rng.random(n) < p
+                uh = np.where(real, rng.integers(0, 1 << 30, n), SENTINEL)
+                ul = np.where(real, rng.integers(0, 1 << 31, n), SENTINEL)
+                cnt = np.where(real, rng.integers(1, 99, n), 0)
+                oh, ol, oc = (
+                    np.asarray(x)
+                    for x in compact_counts(
+                        uh.astype(np.uint32),
+                        ul.astype(np.uint32),
+                        cnt.astype(np.int32),
+                    )
+                )
+                m = int(real.sum())
+                assert np.array_equal(oh[:m], uh[real].astype(np.uint32))
+                assert np.array_equal(ol[:m], ul[real].astype(np.uint32))
+                assert np.array_equal(oc[:m], cnt[real])
+                assert (oh[m:] == SENTINEL).all() and (oc[m:] == 0).all()
+
+    def test_merge_compact_tables(self, rng):
+        from kmers_tpu.ops.count import compact_counts, merge_compact_tables
+
+        s1, s2 = rand_dna(rng, 900), rand_dna(rng, 333)
+        K = 11
+        tables = []
+        for s in (s1, s2):
+            codes, certain, _ = classify_2bit(to_bytes(s))
+            hi, lo = canonical_windows_from_codes(codes, K)
+            valid = window_valid_mask(certain, K)
+            t = sort_count(hi, lo, valid)
+            tables.append(compact_counts(t[0], t[1], t[2]))
+        mh, ml, mc, mnu = merge_compact_tables(*tables[0], *tables[1])
+        mh, ml, mc = (np.asarray(x) for x in (mh, ml, mc))
+        keep = mc > 0
+        got = {
+            (int(h) << 32) | int(l): int(c)
+            for h, l, c in zip(mh[keep], ml[keep], mc[keep])
+        }
+        oracle = collections.Counter(
+            k.canonical().value for k, _ in UnambiguousDNAMers(K, s1)
+        )
+        oracle.update(
+            k.canonical().value for k, _ in UnambiguousDNAMers(K, s2)
+        )
+        assert got == {int(k): v for k, v in oracle.items()}
+        assert int(mnu) == len(oracle)
+        # sorted among real rows, sentinels at the end
+        keys = (mh[keep].astype(np.uint64) << np.uint64(32)) | ml[keep]
+        assert (np.diff(keys.astype(np.uint64)) > 0).all()
+        assert keep[: int(keep.sum())].all()
+
 
 class TestMinimizer:
     def test_sliding_min_oracle(self, rng):
