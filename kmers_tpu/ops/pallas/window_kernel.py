@@ -39,6 +39,8 @@ except Exception:  # pragma: no cover
 __all__ = [
     "canonical_windows_pallas",
     "canonical_windows_masked_pallas",
+    "canonical_windows_bytes_pallas",
+    "canonical_hash_bytes_pallas",
     "linearize_offset_major",
     "HAVE_PALLAS",
 ]
@@ -72,9 +74,12 @@ def _shr64(hi, lo, s: int):
 
 def _adjacent(words_ref, next_ref, W: int, interpret: bool):
     """(w, w+1, w+2) lane vectors of a tile, with cross-tile carry."""
-    wa = words_ref[:]  # (1, W)
-    c0 = next_ref[0, 0]
-    c1 = next_ref[0, 1]
+    return _adjacent_vec(words_ref[:], next_ref[0, 0], next_ref[0, 1], W, interpret)
+
+
+def _adjacent_vec(wa, c0, c1, W: int, interpret: bool):
+    """Like :func:`_adjacent` on an in-register (1, W) word vector with
+    scalar cross-tile carries ``c0``/``c1``."""
     if interpret:
         w1 = jnp.roll(wa, -1, axis=1)
         w2 = jnp.roll(wa, -2, axis=1)
@@ -186,6 +191,139 @@ def _kernel_masked(
         bad = (gh | gl) != 0
         hi_ref[r : r + 1, :] = jnp.where(bad, sent, ch)
         lo_ref[r : r + 1, :] = jnp.where(bad, sent, cl)
+
+
+def _classify_byte(b):
+    """ASCII byte -> (2-bit code, 2-bit flag): the in-kernel form of
+    ``ops.encode.classify_2bit`` for the skip-ambiguous canonical path.
+    The code is the ``((b>>1) ^ (b>>2)) & 3`` identity on A/C/G/T/U (either
+    case); the flag is 0 for a certain base and 0b11 otherwise (ambiguous,
+    invalid, or padding — all sentinel the windows that contain them,
+    matching the 0xf0/0xff classes of ASCII_SKIPPING_LUT,
+    /root/reference/src/iterators/common.jl:22-32)."""
+    three = jnp.asarray(3, _U32)
+    c = ((b >> 1) ^ (b >> 2)) & three
+    up = b & jnp.asarray(0xDF, _U32)  # fold ASCII case
+    cert = (
+        (up == 65) | (up == 67) | (up == 71) | (up == 84) | (up == 85)
+    )  # A C G T U
+    return c, jnp.where(cert, jnp.asarray(0, _U32), three)
+
+
+def _classify_pack16(get_u32):
+    """Pack 16 bases from four little-endian u32 byte groups into one
+    big-endian 2-bit word (+ matching flag word).  ``get_u32(s)`` yields
+    the u32 holding bytes 4s..4s+3; base j = 4s+t sits at bits 30-2j of
+    the packed word (the register layout of pack_words / kmer.jl:33-44)."""
+    word = None
+    fword = None
+    mask = jnp.asarray(0xFF, _U32)
+    for s in range(4):
+        g = get_u32(s)
+        for t in range(4):
+            b = (g >> (8 * t)) & mask
+            c, f = _classify_byte(b)
+            sh = 30 - 2 * (4 * s + t)
+            wc = c << sh
+            fc = f << sh
+            word = wc if word is None else word | wc
+            fword = fc if fword is None else fword | fc
+    return word, fword
+
+
+def _kernel_bytes(
+    bytes_ref, next_ref, hi_ref, lo_ref, *, K: int, W: int, interpret: bool,
+    emit_hash: bool,
+):
+    """Fully fused front-end: raw ASCII bytes -> classify -> pack ->
+    windows -> in-register RC -> canonical (-> FxHash) -> sentinel, in one
+    VMEM pass.  ``bytes_ref`` is (4, W) u32: lane q holds the 16 bytes of
+    packed word q as four little-endian u32 groups (rows).  Cross-tile
+    carry words are rebuilt from the next tile's first two lanes on the
+    scalar core."""
+    word, fword = _classify_pack16(lambda s: bytes_ref[s : s + 1, :])
+    carries = []
+    for lane in (0, 1):
+        cw, cf = _classify_pack16(lambda s: next_ref[s, lane])
+        carries.append((cw, cf))
+    (c0, f0), (c1, f1) = carries
+    wa, w1, w2 = _adjacent_vec(word, c0, c1, W, interpret)
+    fa, fb, fc = _adjacent_vec(fword, f0, f1, W, interpret)
+    s_out = 64 - 2 * K
+    sent = jnp.asarray(_SENT, _U32)
+    for r in range(16):
+        fh, fl = _window_value(wa, w1, w2, 2 * r, s_out)
+        gh, gl = _window_value(fa, fb, fc, 2 * r, s_out)
+        ch, cl = _canonical(fh, fl, K, s_out)
+        if emit_hash:
+            ch, cl = _fx_mul(ch, cl)
+        bad = (gh | gl) != 0
+        hi_ref[r : r + 1, :] = jnp.where(bad, sent, ch)
+        lo_ref[r : r + 1, :] = jnp.where(bad, sent, cl)
+
+
+def _launch_bytes(bytes_u8, K, W, interpret, emit_hash):
+    from jax import lax
+
+    L = bytes_u8.shape[0]
+    Qreal = max(-(-L // 16), 1)
+    grid = max(-(-Qreal // W), 1)
+    # pad with 'N' (flag class) through one extra carry tile, so tail
+    # windows and the last tile's carry reads are all pre-sentineled
+    total = 16 * (grid + 1) * W
+    padded = jnp.full(total, ord("N"), jnp.uint8).at[:L].set(bytes_u8)
+    u32v = lax.bitcast_convert_type(padded.reshape(-1, 4), _U32)
+    cols = u32v.reshape(-1, 4).T  # (4, (grid+1) * W), lane q = word q
+    kern = partial(
+        _kernel_bytes, K=K, W=W, interpret=interpret, emit_hash=emit_hash
+    )
+    hi, lo = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((4, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, W), lambda i: (0, i + 1), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, grid * W), _U32),
+            jax.ShapeDtypeStruct((16, grid * W), _U32),
+        ],
+        interpret=interpret,
+    )(cols, cols)
+    return hi, lo
+
+
+@partial(jax.jit, static_argnames=("K", "W", "interpret"))
+def canonical_windows_bytes_pallas(
+    bytes_u8, K: int, W: int = 4096, interpret: bool = False
+):
+    """Canonical windows straight from ASCII bytes, offset-major.
+
+    Fuses the whole front-end (classify + pack + flag-stream construction
+    of :func:`canonical_windows_masked_pallas`'s launcher) into the
+    kernel: one HBM read of the byte stream, no materialized code/flag
+    arrays.  Windows containing any non-ACGTU byte — or extending past
+    the sequence end — come back as the count sentinel.
+    """
+    if not 1 <= K <= 31:
+        raise ValueError("fused byte canonical windows support 1 <= K <= 31")
+    return _launch_bytes(bytes_u8, K, W, interpret, emit_hash=False)
+
+
+@partial(jax.jit, static_argnames=("K", "W", "interpret"))
+def canonical_hash_bytes_pallas(
+    bytes_u8, K: int, W: int = 4096, interpret: bool = False
+):
+    """FxHashes of canonical windows straight from ASCII bytes (the fused
+    minhash/minimizer front-end of :func:`canonical_hash_masked_pallas`
+    with in-kernel classify+pack).  Invalid windows hash to all-ones."""
+    if not 1 <= K <= 31:
+        raise ValueError("fused byte canonical hashes support 1 <= K <= 31")
+    return _launch_bytes(bytes_u8, K, W, interpret, emit_hash=True)
 
 
 @partial(jax.jit, static_argnames=("K", "W", "interpret"))

@@ -82,6 +82,53 @@ class TestMaskedKernel:
         assert (flat_hi[n:] == 0xFFFFFFFF).all()
 
 
+class TestFusedBytesKernel:
+    """The fully fused front-end (bytes -> classify -> pack -> canonical
+    windows / hashes in one kernel) must match the masked kernel fed by
+    the XLA classify+pack front-end bit-for-bit."""
+
+    @pytest.mark.parametrize("K", [1, 5, 31])
+    @pytest.mark.parametrize("L", [1, 17, 1000, 5003])
+    def test_windows_and_hash_parity(self, rng, K, L):
+        from kmers_tpu.ops.pallas.window_kernel import (
+            canonical_hash_bytes_pallas,
+            canonical_hash_masked_pallas,
+            canonical_windows_bytes_pallas,
+            canonical_windows_masked_pallas,
+        )
+
+        if K > L:
+            pytest.skip("window longer than input")
+        # mixed certain/ambiguous/invalid bytes, both cases
+        pool = np.frombuffer(b"ACGTNacgtu-X", dtype=np.uint8)
+        b = pool[rng.integers(0, len(pool), L)]
+        codes, certain, _ = classify_2bit(b)
+        h0, l0 = canonical_windows_masked_pallas(
+            np.asarray(codes), np.asarray(certain), K, W=128, interpret=True
+        )
+        h1, l1 = canonical_windows_bytes_pallas(b, K, W=128, interpret=True)
+        n = h0.shape[1]
+        assert np.array_equal(np.asarray(h0), np.asarray(h1)[:, :n])
+        assert np.array_equal(np.asarray(l0), np.asarray(l1)[:, :n])
+        # the wider byte-kernel tail (covers L/16 vs (L-K+1)/16 word
+        # columns) must be all-sentinel
+        assert (np.asarray(h1)[:, n:] == 0xFFFFFFFF).all()
+        hh0, hl0 = canonical_hash_masked_pallas(
+            np.asarray(codes), np.asarray(certain), K, W=128, interpret=True
+        )
+        hh1, hl1 = canonical_hash_bytes_pallas(b, K, W=128, interpret=True)
+        assert np.array_equal(np.asarray(hh0), np.asarray(hh1)[:, :n])
+        assert np.array_equal(np.asarray(hl0), np.asarray(hl1)[:, :n])
+
+    def test_bad_k(self):
+        from kmers_tpu.ops.pallas.window_kernel import (
+            canonical_windows_bytes_pallas,
+        )
+
+        with pytest.raises(ValueError):
+            canonical_windows_bytes_pallas(np.zeros(64, np.uint8), 32)
+
+
 class TestGeneralKernel:
     @pytest.mark.parametrize("bps,K,canonical", [
         (2, 31, True), (2, 16, False), (4, 15, True), (4, 9, False), (8, 7, False),
