@@ -57,6 +57,25 @@ def _device_body(shard_bytes, K: int, W: int, shard: int, n_global: int, axis: s
     return mh[None], ml[None], gpos[None], n_bad[None]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _minimizer_step(mesh: Mesh, K: int, W: int, shard: int, n_global: int):
+    """Cached jitted SPMD step (rebuilding per call would recompile)."""
+    axis = mesh.axis_names[0]
+    body = partial(
+        _device_body, K=K, W=W, shard=shard, n_global=n_global, axis=axis
+    )
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+    )
+    return jax.jit(mapped)
+
+
 def sharded_minimizer_select(
     data, K: int = 15, W: int = 10, mesh: Mesh | None = None
 ):
@@ -87,16 +106,7 @@ def sharded_minimizer_select(
         shards[d] = padded[d * shard : d * shard + shard + halo]
 
     axis = mesh.axis_names[0]
-    body = partial(
-        _device_body, K=K, W=W, shard=shard, n_global=n_global, axis=axis
-    )
-    mapped = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=P(axis, None),
-        out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
-    )
-    step = jax.jit(mapped)
+    step = _minimizer_step(mesh, K, W, shard, n_global)
     sharding = NamedSharding(mesh, P(axis, None))
     mh, ml, gpos, n_bad = step(jax.device_put(shards, sharding))
     if int(np.asarray(n_bad)[0]) > 0:

@@ -152,7 +152,13 @@ def _device_body_mw(shard_bytes, K: int, n_dev: int, cap: int, axis: str):
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def sharded_count_step_mw(mesh: Mesh, K: int, shard_len: int, cap: int):
+    # cached per geometry: rebuilding the shard_map closure per call
+    # would recompile every time (~60 s through a remote transport)
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     M = n_limbs(K)

@@ -177,6 +177,10 @@ def exchange_and_merge(uh, ul, cnt, n_dev: int, cap: int, axis: str):
     return uh, ul, cnt, nu, overflow
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def sharded_count_step(
     mesh: Mesh,
     K: int,
@@ -188,7 +192,9 @@ def sharded_count_step(
     """Build the jitted SPMD counting step for a fixed geometry.
 
     Returns a function of a (n_dev, shard_len + K - 1) uint8 array sharded
-    over the mesh's data axis.
+    over the mesh's data axis.  Cached per geometry: rebuilding the
+    shard_map'd closure on every call would defeat jit's compile cache
+    (measured: a 60 s recompile per call through the remote transport).
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size

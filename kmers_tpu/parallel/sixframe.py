@@ -105,6 +105,27 @@ def _sixframe_body(shard_bytes, K: int, n_dev: int, cap: int, axis: str, tbl):
     return uh[None], ul[None], cnt[None], nu[None], n_windows[None], total_overflow[None]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _sixframe_step(mesh: Mesh, K: int, cap: int, tbl_bytes: bytes):
+    """Cached jitted SPMD step (rebuilding per call would recompile)."""
+    n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    tbl = jnp.asarray(np.frombuffer(tbl_bytes, np.uint8))
+    body = partial(
+        _sixframe_body, K=K, n_dev=n_dev, cap=cap, axis=axis, tbl=tbl
+    )
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis), P(axis), P(axis)),
+    )
+    return jax.jit(mapped)
+
+
 def sharded_sixframe_aa_count(
     data,
     config: SixFrameCountConfig = SixFrameCountConfig(),
@@ -142,18 +163,10 @@ def sharded_sixframe_aa_count(
 
     n_win_per_dev = 2 * shard  # ~6 frames x shard/3
     cap = int(np.ceil(n_win_per_dev * config.bucket_factor / n_dev))
-    tbl = jnp.asarray(np.asarray(config.code.tbl), jnp.uint8)
+    step = _sixframe_step(
+        mesh, K, cap, bytes(np.asarray(config.code.tbl).tobytes())
+    )
     axis = mesh.axis_names[0]
-    body = partial(
-        _sixframe_body, K=K, n_dev=n_dev, cap=cap, axis=axis, tbl=tbl
-    )
-    mapped = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=P(axis, None),
-        out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis), P(axis), P(axis)),
-    )
-    step = jax.jit(mapped)
     sharding = NamedSharding(mesh, P(axis, None))
     uh, ul, cnt, nu, n_windows, overflow = step(
         jax.device_put(shards, sharding)
