@@ -91,7 +91,13 @@ from .functions import (
     as_integer,
     from_integer,
 )
-from .random import rand_kmer, rand_kmers, rand_kmers_device, rand_symbol
+from .random import (
+    rand_from_kmer,
+    rand_kmer,
+    rand_kmers,
+    rand_kmers_device,
+    rand_symbol,
+)
 from .iterators import (
     FwKmers,
     FwDNAMers,

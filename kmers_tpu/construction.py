@@ -140,15 +140,41 @@ def _encodings(scheme: RecodingScheme, target: Alphabet, source, start: int, cou
             yield target.encode(target.coerce(source[i]))
 
 
+def _source_length(source) -> int:
+    if isinstance(source, (str, bytes, bytearray, memoryview, np.ndarray)):
+        return len(_ascii_bytes(source))
+    return len(source)
+
+
+def _check_unsafe_bounds(source, from_index: int, count: int, who: str):
+    """Checked-mode validation of the reference's documented safety
+    obligations for unchecked methods (construction_utils.jl:13-16,
+    146-150): the window [from_index, from_index+count) must lie inside
+    the source.  Without this, a negative index silently wraps in Python
+    instead of segfaulting — same bug, quieter symptom."""
+    L = _source_length(source)
+    if from_index < 0 or from_index + count > L:
+        raise IndexError(
+            f"{who}: window [{from_index}, {from_index + count}) out of "
+            f"bounds for source of length {L} (caught by checked mode)"
+        )
+
+
 def unsafe_extract(scheme: RecodingScheme, alphabet, K: int, source, from_index: int) -> Kmer:
     """Extract a whole K-mer starting at 0-based ``from_index``.
 
     Public primitive for building kmer replacements (minimizers/syncmers),
     mirroring /root/reference/src/construction_utils.jl:27-104 (which is
-    1-based; this API is 0-based).
+    1-based; this API is 0-based).  Bounds are NOT validated unless
+    checked mode is on (KMERS_TPU_CHECKED=1 /
+    :func:`kmers_tpu.utils.debug.set_checked`).
     """
     if not isinstance(alphabet, Alphabet):
         alphabet = alphabet()
+    from .utils.debug import checked_mode
+
+    if checked_mode():
+        _check_unsafe_bounds(source, from_index, K, "unsafe_extract")
     v = 0
     bps = alphabet.bits_per_symbol
     for enc in _encodings(scheme, alphabet, source, from_index, K):
@@ -164,7 +190,11 @@ def shift_encoding(kmer: Kmer, encoding: int) -> Kmer:
 def unsafe_shift_from(scheme: RecodingScheme, kmer: Kmer, source, from_index: int, S: int) -> Kmer:
     """Shift ``S`` symbols from ``source[from_index:from_index+S]`` into ``kmer``
     (S < K), mirroring /root/reference/src/construction_utils.jl:161-236
-    (0-based here)."""
+    (0-based here).  Bounds validated only in checked mode."""
+    from .utils.debug import checked_mode
+
+    if checked_mode():
+        _check_unsafe_bounds(source, from_index, S, "unsafe_shift_from")
     for enc in _encodings(scheme, kmer.alphabet, source, from_index, S):
         kmer = kmer.shift_encoding(enc)
     return kmer

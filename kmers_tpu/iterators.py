@@ -242,6 +242,21 @@ class UnambiguousKmers(AbstractKmerIterator):
         self.K = K
         self.seq = seq
 
+    def __len__(self):
+        # Known only when the source's encoding cannot contain ambiguity
+        # (2-bit sources), mirroring IteratorSize == HasLength for those
+        # (/root/reference/src/iterators/UnambiguousKmers.jl:33-37).
+        src = self.seq
+        src_alpha = (
+            src.alphabet if isinstance(src, (Seq, Kmer)) else None
+        )
+        if isinstance(src_alpha, _TWOBIT):
+            return max(self._source_len() - self.K + 1, 0)
+        raise TypeError(
+            "length of UnambiguousKmers is unknown for sources that may "
+            "contain ambiguous symbols (SizeUnknown in the reference)"
+        )
+
     def __iter__(self):
         A, K = self.alphabet, self.K
         kmer = Kmer.unsafe(A, K, 0)

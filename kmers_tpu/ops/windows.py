@@ -51,7 +51,6 @@ def _check_k(K: int, bps: int):
         raise ValueError("K must be >= 1")
 
 
-@partial(jax.jit, static_argnames=("L", "K", "bps"))
 def window_u64(words, L: int, K: int, bps: int = 2):
     """All K-windows of a packed word stream as a U64 pair.
 
@@ -60,7 +59,26 @@ def window_u64(words, L: int, K: int, bps: int = 2):
     window *i* holds the kmer register value of positions ``[i, i+K)``
     (first symbol in the highest coding bits, zero head padding — the
     scalar layout, so u64 compare == lexicographic compare).
+
+    In checked mode the packed stream's (static) shape is validated:
+    a too-short stream would otherwise clamp the adjacent-word slices
+    silently and emit garbage tail windows.
     """
+    from ..utils.debug import checked_mode
+
+    if checked_mode():
+        Q = -(-L // PER_WORD(bps))
+        if words.shape[0] < Q + 2:
+            raise IndexError(
+                f"window_u64: packed stream has {words.shape[0]} words but "
+                f"L={L} at {bps} bits/symbol needs {Q} + 2 carry words "
+                "(caught by checked mode; pack with pad_words >= 2)"
+            )
+    return _window_u64_jit(words, L, K, bps)
+
+
+@partial(jax.jit, static_argnames=("L", "K", "bps"))
+def _window_u64_jit(words, L: int, K: int, bps: int = 2):
     _check_k(K, bps)
     P = PER_WORD(bps)
     n = L - K + 1

@@ -98,6 +98,27 @@ def _chunk_count(bytes_u8, K: int, use_pallas: bool = False):
     return uh, ul, cnt, nu, n_invalid, n_ambig
 
 
+@partial(jax.jit, static_argnames=("K", "use_pallas"))
+def _chunk_count_checked(bytes_u8, K: int, use_pallas: bool = False):
+    """Checked-mode variant: also returns (n_valid_windows, n_counted) for
+    the count-conservation assertion (every valid window counted exactly
+    once) — the kernel-level assert path of checked mode.  A violation
+    means a precondition broke (e.g. a real register colliding with the
+    count sentinel) or a kernel bug."""
+    from ..ops.count import SENTINEL
+
+    hi, lo, valid, n_invalid, n_ambig = _chunk_canonical(
+        bytes_u8, K, use_pallas
+    )
+    if valid is None:
+        sent = jnp.asarray(SENTINEL, jnp.uint32)
+        n_valid = jnp.sum((hi != sent) | (lo != sent))
+    else:
+        n_valid = jnp.sum(valid)
+    uh, ul, cnt, nu = sort_count(hi, lo, valid, use_pallas=use_pallas)
+    return uh, ul, cnt, nu, n_invalid, n_ambig, n_valid, jnp.sum(cnt)
+
+
 def _as_byte_array(data) -> np.ndarray:
     if isinstance(data, str):
         data = data.encode("ascii")
@@ -152,6 +173,11 @@ def canonical_count_bytes(data, config: CountConfig = CountConfig()):
     use_pallas = (
         _on_tpu() if config.use_pallas is None else config.use_pallas
     )
+    from ..utils.debug import checked_mode
+
+    dbg = checked_mode()
+    dev_valid = jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32)
+    dev_counted = jnp.zeros_like(dev_valid)
     starts = list(range(0, max(L - K + 1, 1), step))
     for start in starts:
         chunk = arr[start : start + config.chunk_size]
@@ -164,9 +190,16 @@ def canonical_count_bytes(data, config: CountConfig = CountConfig()):
             chunk = np.concatenate(
                 [chunk, np.full(pad, ord("N"), np.uint8)]
             )
-        uh, ul, cnt, nu, n_inv, n_amb = _chunk_count(
-            jnp.asarray(chunk), K, use_pallas
-        )
+        if dbg:
+            uh, ul, cnt, nu, n_inv, n_amb, n_val, n_cnt = (
+                _chunk_count_checked(jnp.asarray(chunk), K, use_pallas)
+            )
+            dev_valid = dev_valid + n_val.astype(dev_valid.dtype)
+            dev_counted = dev_counted + n_cnt.astype(dev_counted.dtype)
+        else:
+            uh, ul, cnt, nu, n_inv, n_amb = _chunk_count(
+                jnp.asarray(chunk), K, use_pallas
+            )
         dev_invalid = dev_invalid + n_inv.astype(jnp.int32)
         dev_ambig = dev_ambig + n_amb.astype(jnp.int32)
         total_pad += pad
@@ -194,6 +227,12 @@ def canonical_count_bytes(data, config: CountConfig = CountConfig()):
         raise EncodeError(DNAAlphabet2(), "<batch input>")
     if total_ambig and not config.skip_ambiguous:
         raise EncodeError(DNAAlphabet2(), "<ambiguous base>")
+    if dbg and int(dev_valid) != int(dev_counted):
+        raise RuntimeError(
+            f"checked mode: count conservation violated — {int(dev_valid)} "
+            f"valid windows but {int(dev_counted)} counted (sentinel "
+            "collision or kernel bug)"
+        )
 
     uh, ul, cnt = (np.asarray(x) for x in acc)
     kmers = (uh.astype(np.uint64) << np.uint64(32)) | ul.astype(np.uint64)

@@ -27,7 +27,13 @@ from .alphabets import (
 )
 from .kmer import Kmer
 
-__all__ = ["rand_kmer", "rand_kmers", "rand_kmers_device", "rand_symbol"]
+__all__ = [
+    "rand_kmer",
+    "rand_kmers",
+    "rand_kmers_device",
+    "rand_symbol",
+    "rand_from_kmer",
+]
 
 #: encodings of the 20 proteogenic amino acids (ACDEFGHIKLMNPQRSTVWY),
 #: mirroring PROTEOGENIC_AA_ENCODINGS (/root/reference/ext/RandomExt.jl:28-34)
@@ -53,6 +59,15 @@ def rand_symbol(alphabet: Alphabet, rng=None):
         return alphabet.decode(int(rng.choice(PROTEOGENIC_AA)))
     syms = alphabet.symbols
     return syms[int(rng.integers(len(syms)))]
+
+
+def rand_from_kmer(kmer: Kmer, rng=None):
+    """One symbol drawn uniformly from the kmer's positions — the
+    ``rand(rng, ::Kmer)`` method of the reference
+    (/root/reference/ext/RandomExt.jl:40-44), which samples an *element
+    of the sequence*, not the alphabet."""
+    rng = _rng(rng)
+    return kmer[int(rng.integers(len(kmer)))]
 
 
 def rand_kmer(alphabet, K: int, rng=None) -> Kmer:

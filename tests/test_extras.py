@@ -50,6 +50,19 @@ class TestRandom:
     def test_k_zero(self, rng):
         assert rand_kmer(DNAAlphabet2(), 0, rng).value == 0
 
+    def test_rand_from_kmer(self, rng):
+        # samples the kmer's positions, not the alphabet
+        # (/root/reference/ext/RandomExt.jl:40-44)
+        from kmers_tpu import mer, rand_from_kmer
+
+        k = mer("ACCCC", "dna")
+        seen = collections.Counter(
+            str(rand_from_kmer(k, rng)) for _ in range(300)
+        )
+        assert set(seen) == {"A", "C"}
+        assert seen["C"] > seen["A"]  # 4/5 of positions are C
+        assert all(s in str(k) for s in seen)
+
 
 class TestMinhash:
     def test_sketch_matches_oracle(self, rng):

@@ -138,6 +138,19 @@ class TestUnambiguous:
         with pytest.raises(EncodeError):
             list(UnambiguousDNAMers(2, "ACXGT"))
 
+    def test_len_two_bit_source(self):
+        # 2-bit sources cannot contain ambiguity -> length is known
+        # (/root/reference/src/iterators/UnambiguousKmers.jl:33-37)
+        s = Seq(DNAAlphabet2(), "TGAGCTACGGA")
+        it = UnambiguousDNAMers(4, s)
+        assert len(it) == len(list(it)) == 8
+        assert len(UnambiguousDNAMers(20, s)) == 0
+        # other sources are SizeUnknown -> len() raises
+        with pytest.raises(TypeError):
+            len(UnambiguousDNAMers(4, "TGAGCWKCATC"))
+        with pytest.raises(TypeError):
+            len(UnambiguousDNAMers(4, Seq(DNAAlphabet4(), "TGAGC")))
+
     def test_no_ambiguity_equals_fw(self, rng):
         s = random_dna(rng, 60)
         got = list(UnambiguousDNAMers(5, s))
