@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from .hashing import fx_hash_u64
 
-__all__ = ["sliding_min_u64", "minimizers"]
+__all__ = ["sliding_min_u64", "minimizers", "minimizers_masked"]
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -105,3 +105,26 @@ def minimizers(kmer_hi, kmer_lo, W: int):
     hh, hl = fx_hash_u64(kmer_hi, kmer_lo)
     mh, ml, mp = sliding_min_u64(hh, hl, W)
     return kmer_hi[mp], kmer_lo[mp], mp
+
+
+@partial(jax.jit, static_argnames=("W",))
+def minimizers_masked(kmer_hi, kmer_lo, valid, W: int):
+    """Skip-ambiguous (W, K)-minimizers: kmers with ``valid == False`` are
+    excluded from candidacy (their hash becomes the all-ones sentinel,
+    which no valid K <= 31 kmer's FxHash can equal — the preimage of ~0
+    is >= 2^62).  A window with no valid kmer selects nothing: its
+    position comes back -1 (callers drop those rows).
+
+    This is the UnambiguousKmers skip rule
+    (/root/reference/src/iterators/UnambiguousKmers.jl:88-107) composed
+    with minimizer selection — BASELINE.json config 3 x config 4.
+    """
+    sent = jnp.asarray(0xFFFFFFFF, _U32)
+    hh, hl = fx_hash_u64(kmer_hi, kmer_lo)
+    hh = jnp.where(valid, hh, sent)
+    hl = jnp.where(valid, hl, sent)
+    mh, ml, mp = sliding_min_u64(hh, hl, W)
+    empty = (mh == sent) & (ml == sent)
+    mp = jnp.where(empty, -1, mp)
+    safe = jnp.maximum(mp, 0)
+    return kmer_hi[safe], kmer_lo[safe], mp

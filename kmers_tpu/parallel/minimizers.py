@@ -34,16 +34,32 @@ _U32 = jnp.uint32
 _I32 = jnp.int32
 
 
-def _device_body(shard_bytes, K: int, W: int, shard: int, n_global: int, axis: str):
+def _device_body(
+    shard_bytes,
+    K: int,
+    W: int,
+    shard: int,
+    n_global: int,
+    axis: str,
+    skip_ambiguous: bool = False,
+):
     data = shard_bytes[0]  # (shard + W + K - 2,)
     codes, certain, ambig = classify_2bit(data)
-    bad = ~certain
+    bad = ~certain if not skip_ambiguous else ~(certain | ambig)
     hi, lo = canonical_windows_from_codes(codes, K)
-    mh, ml, mp = _minimizers(hi, lo, W)  # local windows: shard of them
+    if skip_ambiguous:
+        from ..ops.minimizer import minimizers_masked
+        from ..ops.windows import window_valid_mask
+
+        valid = window_valid_mask(certain, K)
+        mh, ml, mp = minimizers_masked(hi, lo, valid, W)
+    else:
+        mh, ml, mp = _minimizers(hi, lo, W)  # local windows: shard of them
     mh, ml, mp = mh[:shard], ml[:shard], mp[:shard]
     d = jax.lax.axis_index(axis)
     base = d * shard
-    gpos = mp.astype(_I32) + base
+    # all-invalid windows carry mp == -1; keep them -1 in global coords
+    gpos = jnp.where(mp < 0, -1, mp.astype(_I32) + base)
     j = jnp.arange(shard, dtype=_I32) + base
     in_range = j < n_global
     sent = jnp.asarray(0xFFFFFFFF, _U32)
@@ -61,11 +77,24 @@ import functools
 
 
 @functools.lru_cache(maxsize=64)
-def _minimizer_step(mesh: Mesh, K: int, W: int, shard: int, n_global: int):
+def _minimizer_step(
+    mesh: Mesh,
+    K: int,
+    W: int,
+    shard: int,
+    n_global: int,
+    skip_ambiguous: bool = False,
+):
     """Cached jitted SPMD step (rebuilding per call would recompile)."""
     axis = mesh.axis_names[0]
     body = partial(
-        _device_body, K=K, W=W, shard=shard, n_global=n_global, axis=axis
+        _device_body,
+        K=K,
+        W=W,
+        shard=shard,
+        n_global=n_global,
+        axis=axis,
+        skip_ambiguous=skip_ambiguous,
     )
     mapped = jax.shard_map(
         body,
@@ -77,13 +106,21 @@ def _minimizer_step(mesh: Mesh, K: int, W: int, shard: int, n_global: int):
 
 
 def sharded_minimizer_select(
-    data, K: int = 15, W: int = 10, mesh: Mesh | None = None
+    data,
+    K: int = 15,
+    W: int = 10,
+    mesh: Mesh | None = None,
+    skip_ambiguous: bool = False,
 ):
     """(W, K)-minimizer sampling across all devices of ``mesh``.
 
     Returns (kmer values uint64, positions int64), deduplicated —
-    identical to ``pipelines.minimizer_select`` on one chip.  Requires an
-    ambiguity-free buffer, like the single-chip pipeline.
+    identical to ``pipelines.minimizer_select`` on one chip.  With
+    ``skip_ambiguous=False`` the buffer must be ambiguity-free; with
+    ``skip_ambiguous=True`` ambiguous kmers are excluded from candidacy
+    (windows with no valid kmer select nothing), matching the
+    single-chip ``minimizer_select(skip_ambiguous=True)`` bit-for-bit on
+    any device count.
     """
     from ..pipelines.extract import _prep
 
@@ -99,18 +136,24 @@ def sharded_minimizer_select(
 
     shard = -(-n_global // n_dev)
     halo = span - 1
-    padded = np.full(n_dev * shard + halo, ord("A"), dtype=np.uint8)
+    # pad with 'N' under skipping (never a candidate), 'A' otherwise
+    # (the pad can't be selected: tail windows are masked by n_global)
+    pad_byte = ord("N") if skip_ambiguous else ord("A")
+    padded = np.full(n_dev * shard + halo, pad_byte, dtype=np.uint8)
     padded[:L] = arr
     shards = np.empty((n_dev, shard + halo), dtype=np.uint8)
     for d in range(n_dev):
         shards[d] = padded[d * shard : d * shard + shard + halo]
 
     axis = mesh.axis_names[0]
-    step = _minimizer_step(mesh, K, W, shard, n_global)
+    step = _minimizer_step(mesh, K, W, shard, n_global, skip_ambiguous)
     sharding = NamedSharding(mesh, P(axis, None))
     mh, ml, gpos, n_bad = step(jax.device_put(shards, sharding))
+    # padding never counts as bad: under skipping, pad 'N' is ambiguous
+    # (allowed); otherwise pad 'A' is certain
     if int(np.asarray(n_bad)[0]) > 0:
-        raise EncodeError(DNAAlphabet2(), "<ambiguous or invalid base>")
+        msg = "<invalid base>" if skip_ambiguous else "<ambiguous or invalid base>"
+        raise EncodeError(DNAAlphabet2(), msg)
     vals = (
         np.asarray(mh).reshape(-1).astype(np.uint64) << np.uint64(32)
     ) | np.asarray(ml).reshape(-1).astype(np.uint64)

@@ -89,11 +89,11 @@ def _device_body(
     body_len = data.shape[0] - (K - 1)
     invalid = (~(certain | _ambig))[:body_len]
     if use_pallas:
-        from ..ops.pallas.window_kernel import canonical_windows_masked_pallas
+        from ..ops.pallas.window_kernel import canonical_windows_bytes_pallas
 
-        # invalid/out-of-range windows come back pre-sentineled
-        hi_om, lo_om = canonical_windows_masked_pallas(
-            codes, certain, K, interpret=interpret
+        # fused classify+pack+windows; invalid windows pre-sentineled
+        hi_om, lo_om = canonical_windows_bytes_pallas(
+            data, K, interpret=interpret
         )
         hi, lo, valid = hi_om.reshape(-1), lo_om.reshape(-1), None
     else:
@@ -239,13 +239,18 @@ def sharded_canonical_count(
     data,
     config: ShardedCountConfig = ShardedCountConfig(),
     mesh: Mesh | None = None,
+    metrics=None,
 ):
     """Count canonical K-mers across all devices of ``mesh``.
 
     Returns ``(kmers, counts)`` as sorted host numpy arrays (exact global
     multiset — parity with the single-chip pipeline and the scalar oracle).
     Raises on invalid bytes and on bucket overflow (raise ``bucket_factor``).
+    ``metrics``: optional :class:`kmers_tpu.utils.Metrics` recording one
+    BatchStats per call.
     """
+    if metrics is not None:
+        metrics.start_batch()
     if isinstance(data, str):
         data = data.encode("ascii")
     arr = np.frombuffer(bytes(data), dtype=np.uint8).copy()
@@ -292,4 +297,14 @@ def sharded_canonical_count(
     keep = cnt > 0
     kmers, cnt = kmers[keep], cnt[keep].astype(np.int64)
     order = np.argsort(kmers, kind="stable")
-    return kmers[order], cnt[order]
+    kmers, cnt = kmers[order], cnt[order]
+    if metrics is not None:
+        n_windows = max(L - K + 1, 0)
+        counted = int(cnt.sum())
+        metrics.end_batch(
+            bases_in=L,
+            windows_out=counted,
+            windows_skipped=n_windows - counted,
+            distinct_kmers=int(kmers.shape[0]),
+        )
+    return kmers, cnt

@@ -75,17 +75,24 @@ def _chunk_canonical(bytes_u8, K: int, use_pallas: bool = False):
     offset-major layout; counting is order-agnostic, so the mask is
     simply permuted to match (see ops/pallas/window_kernel.py).
     """
+    if use_pallas:
+        from ..ops.pallas.window_kernel import (
+            canonical_windows_bytes_flat_pallas,
+        )
+
+        # fully fused front-end: classify + pack + the error counters all
+        # happen inside the kernel (one HBM read of the bytes, no
+        # materialized code/flag arrays, no separate classify pass), and
+        # the outputs are written flat (no relayout before the sort).
+        # Invalid windows come back pre-sentineled, no mask array needed.
+        hi, lo, n_bad, n_amb = canonical_windows_bytes_flat_pallas(
+            bytes_u8, K
+        )
+        return hi, lo, None, n_bad, n_amb
     codes, certain, ambig = classify_2bit(bytes_u8)
     invalid = ~(certain | ambig)
-    if use_pallas:
-        from ..ops.pallas.window_kernel import canonical_windows_masked_pallas
-
-        # invalid windows come back pre-sentineled; no mask array needed
-        hi_om, lo_om = canonical_windows_masked_pallas(codes, certain, K)
-        hi, lo, valid = hi_om.reshape(-1), lo_om.reshape(-1), None
-    else:
-        hi, lo = canonical_windows_from_codes(codes, K)
-        valid = window_valid_mask(certain, K)
+    hi, lo = canonical_windows_from_codes(codes, K)
+    valid = window_valid_mask(certain, K)
     return hi, lo, valid, jnp.sum(invalid), jnp.sum(ambig)
 
 
@@ -130,16 +137,25 @@ def _as_byte_array(data) -> np.ndarray:
     return arr
 
 
-def canonical_count_bytes(data, config: CountConfig = CountConfig()):
+def canonical_count_bytes(
+    data, config: CountConfig = CountConfig(), metrics=None
+):
     """Count canonical K-mers of an ASCII nucleotide buffer.
 
     Returns ``(kmers, counts)``: for K <= 31, ``kmers`` is a sorted
     np.uint64 array of canonical kmer register values (compare with
     ``Kmer.canonical().value``); for K > 31 it is a sorted object array
     of Python-int register values (multi-limb registers).
+
+    ``metrics``: an optional :class:`kmers_tpu.utils.Metrics`; one
+    :class:`BatchStats` is recorded per call (bases in, windows out,
+    windows skipped, distinct kmers, wall seconds) at the cost of one
+    extra device reduction per chunk.
     """
     if config.K > 31:
         return _canonical_count_multiword(data, config)
+    if metrics is not None:
+        metrics.start_batch()
     arr = _as_byte_array(data)
     K = config.K
     if config.chunk_size < K:
@@ -176,6 +192,7 @@ def canonical_count_bytes(data, config: CountConfig = CountConfig()):
     from ..utils.debug import checked_mode
 
     dbg = checked_mode()
+    track = dbg or metrics is not None
     dev_valid = jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32)
     dev_counted = jnp.zeros_like(dev_valid)
     starts = list(range(0, max(L - K + 1, 1), step))
@@ -190,7 +207,7 @@ def canonical_count_bytes(data, config: CountConfig = CountConfig()):
             chunk = np.concatenate(
                 [chunk, np.full(pad, ord("N"), np.uint8)]
             )
-        if dbg:
+        if track:
             uh, ul, cnt, nu, n_inv, n_amb, n_val, n_cnt = (
                 _chunk_count_checked(jnp.asarray(chunk), K, use_pallas)
             )
@@ -237,7 +254,17 @@ def canonical_count_bytes(data, config: CountConfig = CountConfig()):
     uh, ul, cnt = (np.asarray(x) for x in acc)
     kmers = (uh.astype(np.uint64) << np.uint64(32)) | ul.astype(np.uint64)
     keep = cnt > 0
-    return kmers[keep], cnt[keep].astype(np.int64)
+    kmers, counts = kmers[keep], cnt[keep].astype(np.int64)
+    if metrics is not None:
+        n_windows = max(L - K + 1, 0)
+        n_valid = int(dev_valid)
+        metrics.end_batch(
+            bases_in=L,
+            windows_out=n_valid,
+            windows_skipped=n_windows - n_valid,
+            distinct_kmers=int(kmers.shape[0]),
+        )
+    return kmers, counts
 
 
 def _canonical_count_multiword(data, config: CountConfig):

@@ -127,23 +127,37 @@ def syncmer_select(data, K: int = 15, s: int = 5, canonical: bool = False):
     return vals[mask], pos
 
 
-def minimizer_select(data, K: int = 15, W: int = 10, canonical: bool = True):
+def minimizer_select(
+    data,
+    K: int = 15,
+    W: int = 10,
+    canonical: bool = True,
+    skip_ambiguous: bool = False,
+):
     """(W, K)-minimizers: per window of W consecutive kmers, the kmer with
     the smallest FxHash (leftmost tie-break); returns the deduplicated
     (kmer values, positions) sampling.
 
-    Requires an ambiguity-free buffer (split reads on Ns first — see
-    kmers_tpu.io record offsets).
+    With ``skip_ambiguous=False`` the buffer must be ambiguity-free
+    (split reads on Ns first — see kmers_tpu.io record offsets); with
+    ``skip_ambiguous=True``, kmers containing ambiguous bases are
+    excluded from candidacy and windows with no valid kmer select
+    nothing (UnambiguousKmers skip semantics composed with selection).
     """
     arr = _prep(data)
     n = arr.size - K + 1
     if n < W:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
     hi, lo, valid, n_inv, n_amb = _extract(jnp.asarray(arr), K, canonical)
-    if int(n_inv) or int(n_amb):
+    if int(n_inv) or (int(n_amb) and not skip_ambiguous):
         raise EncodeError(DNAAlphabet2(), "<ambiguous or invalid base>")
-    mh, ml, mp = _minimizers(hi, lo, W)
+    if skip_ambiguous:
+        from ..ops.minimizer import minimizers_masked
+
+        mh, ml, mp = minimizers_masked(hi, lo, valid, W)
+    else:
+        mh, ml, mp = _minimizers(hi, lo, W)
     vals = u64ops.to_numpy((mh, ml))
     pos = np.asarray(mp).astype(np.int64)
-    keep = np.concatenate([[True], pos[1:] != pos[:-1]])
+    keep = np.concatenate([[True], pos[1:] != pos[:-1]]) & (pos >= 0)
     return vals[keep], pos[keep]

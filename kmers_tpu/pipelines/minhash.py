@@ -67,15 +67,16 @@ def _smallest_prefix(hh, hl, prefix: int):
 
 @partial(jax.jit, static_argnames=("K", "prefix"))
 def _sketch_chunk_pallas(bytes_u8, K: int, prefix: int):
-    """Fused-kernel variant: classify -> Mosaic canonical+hash kernel ->
-    two-stage top_k.  Invalid windows hash to all-ones; no valid K<=31
-    kmer can (the FxHash preimage of ~0 is >= 2^62), so the host-side
-    filter on the sentinel is exact."""
-    from ..ops.pallas.window_kernel import canonical_hash_masked_pallas
+    """Fused-kernel variant: Mosaic bytes->canonical->FxHash kernel ->
+    two-stage top_k.  Classify+pack happen inside the kernel (the error
+    counter is a fused reduction).  Invalid windows hash to all-ones; no
+    valid K<=31 kmer can (the FxHash preimage of ~0 is >= 2^62), so the
+    host-side filter on the sentinel is exact."""
+    from ..ops.pallas.window_kernel import canonical_hash_bytes_pallas
 
-    codes, certain, ambig = classify_2bit(bytes_u8)
+    _, certain, ambig = classify_2bit(bytes_u8)
     invalid = ~(certain | ambig)
-    hh_om, hl_om = canonical_hash_masked_pallas(codes, certain, K)
+    hh_om, hl_om = canonical_hash_bytes_pallas(bytes_u8, K)
     cand_hh, cand_hl, boundary = _smallest_prefix(
         hh_om.reshape(-1), hl_om.reshape(-1), prefix
     )

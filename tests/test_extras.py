@@ -133,6 +133,46 @@ class TestUtils:
         assert summ["bases_in"] == 100 and summ["n_batches"] == 1
         assert "bases_per_sec" in summ
 
+    def test_pipeline_emits_metrics(self, rng):
+        # end-to-end: the counting pipeline populates BatchStats itself
+        # (SURVEY.md §5 observability: bases in, windows skipped, distinct)
+        from kmers_tpu.pipelines.canonical_count import (
+            CountConfig,
+            canonical_count_bytes,
+        )
+
+        seq = "ACGTN" * 300  # every window hits an N except none: K=3
+        m = Metrics()
+        kmers, counts = canonical_count_bytes(
+            seq, CountConfig(K=3, chunk_size=512, use_pallas=False), metrics=m
+        )
+        assert len(m.batches) == 1
+        b = m.batches[0]
+        assert b.bases_in == 1500
+        assert b.distinct_kmers == kmers.shape[0]
+        assert b.windows_out == int(counts.sum())
+        assert b.windows_skipped == (1500 - 3 + 1) - b.windows_out
+        assert b.windows_skipped > 0  # the Ns skip real windows
+        assert b.seconds > 0
+        assert m.summary()["n_batches"] == 1
+
+    def test_sharded_pipeline_emits_metrics(self, rng):
+        from kmers_tpu.parallel import (
+            ShardedCountConfig,
+            data_mesh,
+            sharded_canonical_count,
+        )
+
+        seq = "".join("ACGTN"[i] for i in rng.integers(0, 5, 2000))
+        m = Metrics()
+        kmers, counts = sharded_canonical_count(
+            seq, ShardedCountConfig(K=7), data_mesh(1), metrics=m
+        )
+        b = m.batches[0]
+        assert b.bases_in == 2000
+        assert b.windows_out == int(counts.sum())
+        assert b.distinct_kmers == kmers.shape[0]
+
     def test_checkpoint_roundtrip(self, tmp_path, rng):
         k1 = np.sort(rng.integers(0, 2**62, 100, dtype=np.uint64))
         c1 = rng.integers(1, 10, 100).astype(np.int64)

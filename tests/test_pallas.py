@@ -128,6 +128,43 @@ class TestFusedBytesKernel:
         with pytest.raises(ValueError):
             canonical_windows_bytes_pallas(np.zeros(64, np.uint8), 32)
 
+    @pytest.mark.parametrize("K", [1, 5, 31])
+    @pytest.mark.parametrize("L", [1, 17, 1000, 5003])
+    def test_flat_variant_parity(self, rng, K, L):
+        """The flat-output + fused-counters kernel must hold the same
+        window multiset as the (16, Q) kernel (flat index tile*16W + r*W
+        + q is a bijective relabeling of offset-major (r, tile*W + q))
+        and reproduce classify_2bit's error counters exactly."""
+        from kmers_tpu.ops.pallas.window_kernel import (
+            canonical_windows_bytes_flat_pallas,
+            canonical_windows_bytes_pallas,
+        )
+
+        if K > L:
+            pytest.skip("window longer than input")
+        pool = np.frombuffer(b"ACGTNacgtu-X", dtype=np.uint8)
+        b = pool[rng.integers(0, len(pool), L)]
+        h0, l0 = canonical_windows_bytes_pallas(b, K, W=128, interpret=True)
+        h1, l1, n_bad, n_amb = canonical_windows_bytes_flat_pallas(
+            b, K, W=128, interpret=True
+        )
+        v0 = (np.asarray(h0).astype(np.uint64) << 32) | np.asarray(l0).astype(np.uint64)
+        v1 = (np.asarray(h1).astype(np.uint64) << 32) | np.asarray(l1).astype(np.uint64)
+        assert np.array_equal(np.sort(v0.reshape(-1)), np.sort(v1))
+        # exact relabeling check: (r, q) -> tile*16W + r*W + q
+        W = 128
+        Q = v0.shape[1]
+        flat = np.full(v1.shape, 0, np.uint64)
+        for r in range(16):
+            for q in range(Q):
+                tile, qq = divmod(q, W)
+                flat[tile * 16 * W + r * W + qq] = v0[r, q]
+        assert np.array_equal(flat, v1)
+        _, certain, ambig = classify_2bit(b)
+        invalid = ~(np.asarray(certain) | np.asarray(ambig))
+        assert int(n_bad) == int(invalid.sum())
+        assert int(n_amb) == int(np.asarray(ambig).sum())
+
 
 class TestGeneralKernel:
     @pytest.mark.parametrize("bps,K,canonical", [

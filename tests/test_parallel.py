@@ -190,6 +190,35 @@ class TestShardedMinimizers:
         with pytest.raises(EncodeError):
             sharded_minimizer_select("ACGT" * 100 + "N" + "ACGT" * 100, mesh=data_mesh(4))
 
+    @pytest.mark.parametrize("n_dev", [1, 3, 8])
+    def test_skip_ambiguous_parity(self, n_dev):
+        # N-containing reads select correctly instead of raising; sharded
+        # output is bit-identical to the single-chip skip pipeline
+        from kmers_tpu.parallel.minimizers import sharded_minimizer_select
+        from kmers_tpu.pipelines import minimizer_select
+
+        rng = np.random.default_rng(23)
+        s = "".join("ACGTNACGT"[i] for i in rng.integers(0, 9, 2500))
+        K, W = 15, 10
+        vals1, pos1 = minimizer_select(s, K=K, W=W, skip_ambiguous=True)
+        assert vals1.size > 0
+        vals2, pos2 = sharded_minimizer_select(
+            s, K=K, W=W, mesh=data_mesh(n_dev), skip_ambiguous=True
+        )
+        assert np.array_equal(pos1, pos2)
+        assert np.array_equal(vals1, vals2)
+
+    def test_skip_ambiguous_invalid_still_raises(self):
+        from kmers_tpu import EncodeError
+        from kmers_tpu.parallel.minimizers import sharded_minimizer_select
+
+        with pytest.raises(EncodeError):
+            sharded_minimizer_select(
+                "ACGT" * 100 + "X" + "ACGT" * 100,
+                mesh=data_mesh(2),
+                skip_ambiguous=True,
+            )
+
     def test_short(self):
         from kmers_tpu.parallel.minimizers import sharded_minimizer_select
 

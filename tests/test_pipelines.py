@@ -70,6 +70,32 @@ class TestExtract:
         assert pos.tolist() == want_pos
         assert vals.tolist() == [ks[p].value for p in want_pos]
 
+    def test_minimizers_skip_ambiguous_oracle(self, rng):
+        s = "".join("ACGTNACGT"[i] for i in rng.integers(0, 9, 500))
+        K, W = 9, 6
+        vals, pos = minimizer_select(s, K=K, W=W, skip_ambiguous=True)
+        # oracle: valid kmers only; windows with no valid kmer select nothing
+        n = len(s) - K + 1
+        cand = {}
+        for i in range(n):
+            win = s[i : i + K]
+            if all(c in "ACGT" for c in win):
+                k = DNAKmer(win).canonical()
+                cand[i] = (fx_hash(k), i, k.value)
+        want = []
+        for j in range(n - W + 1):
+            xs = [cand[i] for i in range(j, j + W) if i in cand]
+            if not xs:
+                continue
+            h, p, v = min(xs)
+            if not want or want[-1][0] != p:
+                want.append((p, v))
+        assert pos.tolist() == [p for p, _ in want]
+        assert vals.tolist() == [v for _, v in want]
+        # and without the flag the same input raises
+        with pytest.raises(EncodeError):
+            minimizer_select(s, K=K, W=W)
+
 
 class TestStats:
     def test_gc_vs_scalar(self, rng):
