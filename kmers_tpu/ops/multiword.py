@@ -31,6 +31,8 @@ __all__ = [
     "rc_windows_mw",
     "canonical_windows_mw",
     "sort_count_mw",
+    "compact_counts_mw",
+    "merge_compact_tables_mw",
     "fx_hash_mw",
     "mw_to_numpy",
 ]
@@ -149,6 +151,117 @@ def sort_count_mw(limbs, valid=None):
     # n_runs counts the invalid group as one run when present (it sorts last)
     n_unique = n_runs - (sflag[-1] == 1).astype(_I32)
     return ulimbs, counts, n_unique
+
+
+@jax.jit
+def compact_counts_mw(ulimbs, cnt):
+    """Front-pack the real rows of a sentinel-interspersed multi-limb
+    count table — the M-limb :func:`kmers_tpu.ops.count.compact_counts`
+    (same gather/scatter-free log-shift passes; real rows are ``cnt > 0``,
+    relative order preserved, tail becomes all-ones/zero)."""
+    ulimbs = tuple(ulimbs)
+    n = ulimbs[0].shape[0]
+    ones = jnp.asarray(0xFFFFFFFF, _U32)
+    real = cnt > 0
+    nreal = (~real).astype(_I32)
+    d = jnp.cumsum(nreal) - nreal
+    v = real
+    xs = (*ulimbs, cnt.astype(_I32))
+    k = 0
+    while (1 << k) < n:
+        s = 1 << k
+
+        def sh(a):
+            return jnp.concatenate([a[s:], jnp.zeros(s, a.dtype)])
+
+        d_in = sh(d)
+        v_in = sh(v.astype(jnp.int8)).astype(bool)
+        take_in = v_in & (((d_in >> k) & 1) == 1)
+        stay = v & (((d >> k) & 1) == 0)
+        xs = tuple(
+            jnp.where(take_in, sh(x), jnp.where(stay, x, jnp.zeros_like(x)))
+            for x in xs
+        )
+        d = jnp.where(take_in, d_in, d)
+        v = take_in | stay
+        k += 1
+    out_limbs = tuple(jnp.where(v, x, ones) for x in xs[:-1])
+    return out_limbs, jnp.where(v, xs[-1], 0)
+
+
+def _rle_mw_weighted(slimbs, weights):
+    """Weighted RLE of a pre-sorted multi-limb stream.  Padding rows carry
+    weight 0 (they contribute nothing even when they tie with a real
+    all-ones register); runs whose total is 0 are emitted as padding."""
+    n = slimbs[0].shape[0]
+    ones = jnp.asarray(0xFFFFFFFF, _U32)
+    neq = jnp.zeros(n - 1, bool)
+    for x in slimbs:
+        neq = neq | (x[1:] != x[:-1])
+    first = jnp.concatenate([jnp.ones(1, bool), neq])
+    is_last = jnp.concatenate([first[1:], jnp.ones(1, bool)])
+    w = weights.astype(_I32)
+    wcum = jnp.cumsum(w)
+    start_w = lax.cummax(jnp.where(first, wcum - w, 0))
+    run_total = wcum - start_w
+    emit = is_last & (run_total > 0)
+    ulimbs = tuple(jnp.where(emit, x, ones) for x in slimbs)
+    counts = jnp.where(emit, run_total, 0)
+    n_unique = jnp.sum(emit.astype(_I32))
+    return ulimbs, counts, n_unique
+
+
+@jax.jit
+def merge_compact_tables_mw(limbs_a, cnt_a, limbs_b, cnt_b):
+    """Merge two *sorted* compact multi-limb count tables with a single
+    bitonic merge network — the M-limb
+    :func:`kmers_tpu.ops.count.merge_compact_tables` (the streaming
+    accumulator of the K > 31 pipeline: cost tracks the distinct count,
+    not the stream length).  Returns (ulimbs, counts, n_unique), compact
+    and sorted.  Padding rows are ``cnt == 0`` with all-ones limbs (they
+    sort last and cannot corrupt a real all-ones run: weight 0)."""
+    limbs_a, limbs_b = tuple(limbs_a), tuple(limbs_b)
+    half = 1 << max(
+        int(max(limbs_a[0].shape[0], limbs_b[0].shape[0], 1) - 1).bit_length(), 0
+    )
+    ones = jnp.asarray(0xFFFFFFFF, _U32)
+
+    def pad(limbs, c):
+        m = limbs[0].shape[0]
+        return (
+            tuple(
+                jnp.concatenate([x, jnp.full(half - m, ones, _U32)])
+                for x in limbs
+            ),
+            jnp.concatenate([c.astype(_I32), jnp.zeros(half - m, _I32)]),
+        )
+
+    la, ca = pad(limbs_a, cnt_a)
+    lb, cb = pad(limbs_b, cnt_b)
+    xs = tuple(
+        jnp.concatenate([a, b[::-1]]) for a, b in zip(la, lb)
+    )
+    xc = jnp.concatenate([ca, cb[::-1]])
+    m = half.bit_length()  # log2(2 * half)
+    for k in range(m, 0, -1):
+        d = 1 << (k - 1)
+        tops = [x.reshape(-1, 2, d)[:, 0] for x in xs]
+        bots = [x.reshape(-1, 2, d)[:, 1] for x in xs]
+        ct, cb2 = xc.reshape(-1, 2, d)[:, 0], xc.reshape(-1, 2, d)[:, 1]
+        lt, eq = _lex_lt_or_eq(tops, bots)
+        le = lt | eq
+        xs = tuple(
+            jnp.stack(
+                [jnp.where(le, t, b), jnp.where(le, b, t)], 1
+            ).reshape(-1)
+            for t, b in zip(tops, bots)
+        )
+        xc = jnp.stack(
+            [jnp.where(le, ct, cb2), jnp.where(le, cb2, ct)], 1
+        ).reshape(-1)
+    ulimbs, cnt, nu = _rle_mw_weighted(xs, xc)
+    ulimbs, cnt = compact_counts_mw(ulimbs, cnt)
+    return ulimbs, cnt, nu
 
 
 def fx_hash_mw(limbs, K: int, bps: int = 2):

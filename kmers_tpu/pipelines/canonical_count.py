@@ -268,12 +268,18 @@ def canonical_count_bytes(
 
 
 def _canonical_count_multiword(data, config: CountConfig):
-    """K > 31: multi-limb registers (ops.multiword), single dispatch per
-    chunk, host-side merge of chunk tables by Python-int kmer value."""
-    import collections
-
+    """K > 31: multi-limb registers (ops.multiword) with the same
+    device-resident streaming accumulator as the K <= 31 path — per-chunk
+    sort-count, gather-free compaction, bitonic merge into a compact
+    table whose capacity tracks the true distinct count.  No host-side
+    per-kmer Python work: the table converts to Python ints once, at the
+    end (the old implementation merged every chunk through a host
+    ``collections.Counter`` and could not stream a genome)."""
+    from ..ops.count import _next_pow2
     from ..ops.multiword import (
         canonical_windows_mw,
+        compact_counts_mw,
+        merge_compact_tables_mw,
         mw_to_numpy,
         sort_count_mw,
     )
@@ -297,27 +303,47 @@ def _canonical_count_multiword(data, config: CountConfig):
         return ulimbs, counts, nu, jnp.sum(invalid), jnp.sum(ambig)
 
     step = max(config.chunk_size - (K - 1), K)
-    totals: collections.Counter = collections.Counter()
-    total_invalid = 0
-    total_ambig = 0
-    for start in range(0, max(L - K + 1, 1), step):
+    starts = list(range(0, max(L - K + 1, 1), step))
+    acc = None  # (limbs tuple, cnt) compact device arrays, pow2 capacity
+    dev_invalid = jnp.zeros((), jnp.int32)
+    dev_ambig = jnp.zeros((), jnp.int32)
+    total_pad = 0
+    for start in starts:
         chunk = arr[start : start + config.chunk_size]
+        pad = 0
+        if len(starts) > 1 and chunk.shape[0] < config.chunk_size:
+            pad = config.chunk_size - chunk.shape[0]
+            chunk = np.concatenate([chunk, np.full(pad, ord("N"), np.uint8)])
         ulimbs, counts, nu, n_inv, n_amb = chunk_fn(jnp.asarray(chunk), K)
-        total_invalid += int(n_inv)
-        total_ambig += int(n_amb)
-        cnt = np.asarray(counts)
-        keep = cnt > 0
-        vals = mw_to_numpy(tuple(np.asarray(x)[keep] for x in ulimbs))
-        for v, c in zip(vals, cnt[keep]):
-            totals[int(v)] += int(c)
+        dev_invalid = dev_invalid + n_inv.astype(jnp.int32)
+        dev_ambig = dev_ambig + n_amb.astype(jnp.int32)
+        total_pad += pad
+        if len(starts) == 1:
+            acc = (ulimbs, counts)
+            break
+        ulimbs, counts = compact_counts_mw(ulimbs, counts)
+        bcap = _next_pow2(max(int(nu), 1))
+        ulimbs = tuple(x[:bcap] for x in ulimbs)
+        counts = counts[:bcap]
+        if acc is None:
+            acc = (ulimbs, counts)
+        else:
+            mlimbs, mc, mnu = merge_compact_tables_mw(
+                acc[0], acc[1], ulimbs, counts
+            )
+            cap = _next_pow2(max(int(mnu), 1))
+            acc = (tuple(x[:cap] for x in mlimbs), mc[:cap])
+
+    total_invalid = int(dev_invalid)
+    total_ambig = int(dev_ambig) - total_pad
     if total_invalid:
         raise EncodeError(DNAAlphabet2(), "<batch input>")
     if total_ambig and not config.skip_ambiguous:
         raise EncodeError(DNAAlphabet2(), "<ambiguous base>")
-    items = sorted(totals.items())
-    kmers = np.array([k for k, _ in items], dtype=object)
-    counts = np.array([c for _, c in items], dtype=np.int64)
-    return kmers, counts
+    cnt = np.asarray(acc[1])
+    keep = cnt > 0
+    kmers = mw_to_numpy(tuple(np.asarray(x)[keep] for x in acc[0]))
+    return kmers, cnt[keep].astype(np.int64)
 
 
 def canonical_count(data, K: int = 31, skip_ambiguous: bool = True):

@@ -2,6 +2,8 @@
 
 import collections
 
+import jax.numpy as jnp
+
 import numpy as np
 import pytest
 
@@ -132,3 +134,62 @@ class TestMultiwordPipeline:
         b = canonical_count_bytes(s, CountConfig(K=40))
         assert [int(x) for x in a[0]] == [int(x) for x in b[0]]
         assert np.array_equal(a[1], b[1])
+
+    def test_chunked_duplicates_oracle(self, rng):
+        # repeats spanning chunk boundaries: the device-side bitonic
+        # accumulator must sum counts across chunks exactly
+        from kmers_tpu.pipelines import CountConfig, canonical_count_bytes
+
+        unit = rand_dna(rng, 400)
+        s = unit * 6  # heavy cross-chunk duplication
+        K = 47
+        kmers, counts = canonical_count_bytes(
+            s, CountConfig(K=K, chunk_size=512)
+        )
+        oracle = collections.Counter(
+            k.canonical().value for k, _ in UnambiguousDNAMers(K, s)
+        )
+        assert dict(zip([int(k) for k in kmers], counts.tolist())) == dict(oracle)
+        assert max(counts) >= 5  # duplication actually exercised
+        vals = [int(k) for k in kmers]
+        assert vals == sorted(vals)
+
+
+class TestMultiwordMerge:
+    def test_merge_compact_tables_mw(self, rng):
+        from kmers_tpu.ops.multiword import (
+            compact_counts_mw,
+            merge_compact_tables_mw,
+            sort_count_mw,
+        )
+
+        M = 3
+        a = tuple(
+            jnp.asarray(rng.integers(0, 50, 64, np.uint32)) for _ in range(M)
+        )
+        b = tuple(
+            jnp.asarray(rng.integers(0, 50, 32, np.uint32)) for _ in range(M)
+        )
+        ta = compact_counts_mw(*sort_count_mw(a)[:2])
+        tb = compact_counts_mw(*sort_count_mw(b)[:2])
+        ml, mc, nu = merge_compact_tables_mw(ta[0], ta[1], tb[0], tb[1])
+        want = collections.Counter()
+        for limbs in (a, b):
+            arrs = [np.asarray(x) for x in limbs]
+            for i in range(arrs[0].shape[0]):
+                v = 0
+                for x in arrs:
+                    v = (v << 32) | int(x[i])
+                want[v] += 1
+        got = {}
+        cnt = np.asarray(mc)
+        arrs = [np.asarray(x) for x in ml]
+        for i in range(cnt.shape[0]):
+            if cnt[i] > 0:
+                v = 0
+                for x in arrs:
+                    v = (v << 32) | int(x[i])
+                got[v] = int(cnt[i])
+        assert got == dict(want)
+        assert int(nu) == len(want)
+        assert list(got) == sorted(got)
