@@ -50,9 +50,10 @@ class SixFrameCountConfig:
     code: GeneticCode = standard_genetic_code
 
     def __post_init__(self):
-        if not 1 <= self.K <= 7:
+        if not 1 <= self.K <= 32:
             raise ValueError(
-                "sharded AA counting supports 1 <= K <= 7 (56-bit registers)"
+                "sharded AA counting supports 1 <= K <= 32 (K <= 7 on "
+                "single 56-bit registers, K <= 32 on multi-limb registers)"
             )
 
 
@@ -80,6 +81,64 @@ def _frame_windows(codes, certain, K: int, H: int, shard: int, tbl):
         own = (starts >= H) & (starts < H + shard)
         outs.append((hi, lo, v & own))
     return outs
+
+
+def _frame_windows_mw(codes, certain, K: int, H: int, shard: int, tbl):
+    """Multi-limb twin of :func:`_frame_windows` for K > 7 amino acids
+    (8 bits/symbol -> M = ceil(K/4) uint32 limbs, the reference's
+    multi-word AA kmers, /root/reference/src/kmer.jl:82)."""
+    from ..ops.multiword import windows_mw
+
+    span = 3 * K
+    base_valid = window_valid_mask(certain, span)
+    outs = []
+    for f in range(3):
+        cf = codes[f:]
+        n_aa = cf.shape[0] // 3
+        c = cf[: n_aa * 3].reshape(n_aa, 3)
+        codons = (c[:, 0] << 4) | (c[:, 1] << 2) | c[:, 2]
+        aa = jnp.take(tbl, codons.astype(_I32), axis=0).astype(_U32)
+        limbs = windows_mw(aa, K, bps=8)
+        n_win = limbs[0].shape[0]
+        starts = f + 3 * jnp.arange(n_win, dtype=_I32)
+        v = base_valid[f::3][:n_win]
+        own = (starts >= H) & (starts < H + shard)
+        outs.append((limbs, v & own))
+    return outs
+
+
+def _sixframe_body_mw(shard_bytes, K: int, n_dev: int, cap: int, axis: str, tbl):
+    from ..ops.multiword import sort_count_mw
+    from .multiword import exchange_and_merge_mw
+
+    data = shard_bytes[0]
+    H = 3 * K
+    shard = data.shape[0] - 2 * H
+    codes, certain, _ambig = classify_2bit(data)
+    rc_codes = (codes ^ 3)[::-1]
+    rc_certain = certain[::-1]
+
+    frames = _frame_windows_mw(codes, certain, K, H, shard, tbl)
+    frames += _frame_windows_mw(rc_codes, rc_certain, K, H, shard, tbl)
+
+    M = len(frames[0][0])
+    limbs = tuple(
+        jnp.concatenate([f[0][m] for f in frames]) for m in range(M)
+    )
+    valid = jnp.concatenate([f[1] for f in frames])
+    ulimbs, cnt, _ = sort_count_mw(limbs, valid)
+    ulimbs, cnt, nu, overflow = exchange_and_merge_mw(
+        ulimbs, cnt, n_dev, cap, axis
+    )
+    total_overflow = jax.lax.psum(overflow, axis)
+    n_windows = jax.lax.psum(jnp.sum(valid.astype(_I32)), axis)
+    return (
+        tuple(x[None] for x in ulimbs),
+        cnt[None],
+        nu[None],
+        n_windows[None],
+        total_overflow[None],
+    )
 
 
 def _sixframe_body(shard_bytes, K: int, n_dev: int, cap: int, axis: str, tbl):
@@ -126,6 +185,33 @@ def _sixframe_step(mesh: Mesh, K: int, cap: int, tbl_bytes: bytes):
     return jax.jit(mapped)
 
 
+@functools.lru_cache(maxsize=64)
+def _sixframe_step_mw(mesh: Mesh, K: int, cap: int, tbl_bytes: bytes):
+    """Cached multi-limb SPMD step for K > 7 amino acids."""
+    from ..ops.multiword import n_limbs
+
+    n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    M = n_limbs(K, bps=8)
+    tbl = jnp.asarray(np.frombuffer(tbl_bytes, np.uint8))
+    body = partial(
+        _sixframe_body_mw, K=K, n_dev=n_dev, cap=cap, axis=axis, tbl=tbl
+    )
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(
+            tuple(P(axis, None) for _ in range(M)),
+            P(axis, None),
+            P(axis),
+            P(axis),
+            P(axis),
+        ),
+    )
+    return jax.jit(mapped)
+
+
 def sharded_sixframe_aa_count(
     data,
     config: SixFrameCountConfig = SixFrameCountConfig(),
@@ -133,8 +219,11 @@ def sharded_sixframe_aa_count(
 ):
     """Count amino-acid K-mers over all six reading frames of ``data``
     across the mesh.  Ambiguous bases invalidate the windows that touch
-    them; returns (kmer_values uint64, counts int64) sorted, plus the
-    result is bit-identical for any device count.
+    them; returns (kmer_values, counts int64) sorted, and the result is
+    bit-identical for any device count.  ``kmer_values`` is uint64 for
+    K <= 7 (single 56-bit registers) and an object array of Python ints
+    for K > 7 (multi-limb registers, the reference's multi-word AA kmers
+    /root/reference/src/kmer.jl:82).
     """
     if isinstance(data, str):
         data = data.encode("ascii")
@@ -163,11 +252,29 @@ def sharded_sixframe_aa_count(
 
     n_win_per_dev = 2 * shard  # ~6 frames x shard/3
     cap = int(np.ceil(n_win_per_dev * config.bucket_factor / n_dev))
-    step = _sixframe_step(
-        mesh, K, cap, bytes(np.asarray(config.code.tbl).tobytes())
-    )
+    tbl_bytes = bytes(np.asarray(config.code.tbl).tobytes())
     axis = mesh.axis_names[0]
     sharding = NamedSharding(mesh, P(axis, None))
+    if K > 7:
+        from ..ops.multiword import mw_to_numpy
+
+        step = _sixframe_step_mw(mesh, K, cap, tbl_bytes)
+        ulimbs, cnt, nu, n_windows, overflow = step(
+            jax.device_put(shards, sharding)
+        )
+        if int(np.asarray(overflow)[0]) > 0:
+            raise RuntimeError(
+                "hash-prefix bucket overflow; increase bucket_factor"
+            )
+        cnt = np.asarray(cnt).reshape(-1)
+        keep = cnt > 0
+        kmers = mw_to_numpy(
+            tuple(np.asarray(x).reshape(-1)[keep] for x in ulimbs)
+        )
+        cnt = cnt[keep].astype(np.int64)
+        order = np.argsort([int(v) for v in kmers], kind="stable")
+        return kmers[order], cnt[order]
+    step = _sixframe_step(mesh, K, cap, tbl_bytes)
     uh, ul, cnt, nu, n_windows, overflow = step(
         jax.device_put(shards, sharding)
     )

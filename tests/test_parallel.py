@@ -153,6 +153,28 @@ class TestSixFrame:
             int(k): v for k, v in oracle.items()
         }
 
+    @pytest.mark.parametrize("n_dev", [1, 3, 8])
+    def test_multilimb_k15_parity(self, n_dev):
+        # K > 7 amino acids: multi-limb registers through the exchange
+        # (the reference's multi-word AA kmers at mesh scale)
+        from kmers_tpu.parallel.sixframe import (
+            SixFrameCountConfig,
+            sharded_sixframe_aa_count,
+        )
+
+        rng = np.random.default_rng(13)
+        s = "".join("ACGTN"[i] for i in rng.integers(0, 5, 1200))
+        K = 15
+        kmers, counts = sharded_sixframe_aa_count(
+            s, SixFrameCountConfig(K=K), data_mesh(n_dev)
+        )
+        oracle = self._oracle(s, K)
+        assert dict(
+            zip([int(k) for k in kmers], counts.tolist())
+        ) == {int(k): v for k, v in oracle.items()}
+        vals = [int(k) for k in kmers]
+        assert vals == sorted(vals)
+
     def test_total_window_count(self):
         from kmers_tpu.parallel.sixframe import (
             SixFrameCountConfig,
