@@ -1,0 +1,150 @@
+"""Benchmark all five BASELINE.json configs; one JSON line each.
+
+Configs (BASELINE.md):
+  1. every-31-mer extraction / 2-bit encoding
+  2. canonical 31-mer counting (the headline metric — same as bench.py)
+  3. minimizer-window selection (and spaced sampling)
+  4. 4-bit ambiguous path with N-masked skipping
+  5. six-frame translated AA k-mers + sharded count-table merge
+
+Run on the TPU: `python tools/bench_all.py` (results land in
+BENCH_ALL.json too).  Steady-state protocol of bench.py: enqueue reps,
+force completion with one host fetch per output.
+"""
+
+import json
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def _force(out):
+    import jax
+
+    jax.tree.map(
+        lambda x: np.asarray(x[..., :1] if getattr(x, "ndim", 0) else x), out
+    )
+
+
+def _timeit(fn, *args, reps=4):
+    out = fn(*args)
+    _force(out)
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(reps)]
+    for o in outs:
+        _force(o)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import os
+
+    results = []
+    rng = np.random.default_rng(0)
+    L = 1 << int(os.environ.get("BENCH_LOG2L", "26"))
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, L)]
+    data = jax.device_put(acgt)
+    on_tpu = jax.default_backend() not in ("cpu",)
+
+    def emit(metric, bases, secs, baseline=None):
+        rec = {
+            "metric": metric,
+            "value": round(bases / secs),
+            "unit": "bases/sec",
+        }
+        if baseline:
+            rec["vs_baseline"] = round(bases / secs / baseline, 3)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # ---- config 1: every-31-mer extraction / 2-bit encoding ----
+    from kmers_tpu.ops.encode import classify_2bit
+    from kmers_tpu.ops.windows import (
+        canonical_windows_4bit_from_codes,
+        window_valid_mask,
+        windows_from_codes,
+    )
+
+    @jax.jit
+    def extract31(b):
+        codes, certain, _ = classify_2bit(b)
+        hi, lo = windows_from_codes(codes, 31)
+        return hi, lo, jnp.sum(certain)
+
+    emit("extract_31mer_2bit", L, _timeit(extract31, data))
+
+    # ---- config 2: canonical 31-mer counting (headline) ----
+    from kmers_tpu.pipelines.canonical_count import _chunk_count
+
+    dt = _timeit(partial(_chunk_count, K=31, use_pallas=on_tpu), data)
+    emit("canonical_31mer_count", L, dt, baseline=5.0e7)
+
+    # ---- config 3: minimizer windows (+ spaced) ----
+    from kmers_tpu.ops.minimizer import minimizers as _minimizers
+
+    @jax.jit
+    def minz(b):
+        codes, certain, _ = classify_2bit(b)
+        from kmers_tpu.ops.windows import canonical_windows_from_codes
+
+        hi, lo = canonical_windows_from_codes(codes, 15)
+        return _minimizers(hi, lo, 10)
+
+    emit("minimizer_select_w10_k15", L, _timeit(minz, data))
+
+    @jax.jit
+    def spaced(b):
+        codes, certain, _ = classify_2bit(b)
+        hi, lo = windows_from_codes(codes, 31)
+        return hi[::7], lo[::7]
+
+    emit("spaced_31mer_step7", L, _timeit(spaced, data))
+
+    # ---- config 4: 4-bit ambiguous path with N-masked skipping ----
+    from kmers_tpu.alphabets import DNAAlphabet4
+    from kmers_tpu.ops.encode import encode_table
+
+    acgtn = np.frombuffer(b"ACGTN", dtype=np.uint8)[rng.integers(0, 5, L)]
+    data_n = jax.device_put(acgtn)
+
+    @jax.jit
+    def four_bit(b):
+        codes, valid_sym = encode_table(b, DNAAlphabet4)
+        _, certain, _ = classify_2bit(b)
+        hi, lo = canonical_windows_4bit_from_codes(codes, 15)
+        mask = window_valid_mask(certain, 15)
+        return hi, lo, mask
+
+    emit("fourbit_canonical_15mer_nmasked", L, _timeit(four_bit, data_n))
+
+    # ---- config 5: six-frame AA kmers + sharded count merge ----
+    from kmers_tpu.parallel import data_mesh
+    from kmers_tpu.parallel.sixframe import (
+        SixFrameCountConfig,
+        sharded_sixframe_aa_count,
+    )
+
+    L6 = min(1 << 24, L)
+    s6 = bytes(np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, L6)])
+    mesh = data_mesh(1)
+    cfg = SixFrameCountConfig(K=7)
+    sharded_sixframe_aa_count(s6, cfg, mesh)  # compile
+    t0 = time.perf_counter()
+    reps = 2
+    for _ in range(reps):
+        sharded_sixframe_aa_count(s6, cfg, mesh)
+    emit("sixframe_aa7_sharded_count", L6, (time.perf_counter() - t0) / reps)
+
+    with open("/root/repo/BENCH_ALL.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
