@@ -20,19 +20,32 @@ import numpy as np
 def main():
     import jax
 
-    from kmers_tpu.pipelines.canonical_count import _chunk_count
-
     K = 31
-    L = 1 << 26  # 67M bases per dispatch
+    L = 1 << 24  # one default-config dispatch (CountConfig.chunk_size)
     rng = np.random.default_rng(0)
     data = np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, L)]
-    data = jax.device_put(data)
 
     use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        # TPU hot path: fused u32 Mosaic front-end (the pipeline's
+        # default) — the '<u4' view is a zero-copy host-side prep
+        from kmers_tpu.pipelines.canonical_count import (
+            _chunk_count_u32,
+            _pad_to_u32_view,
+        )
+
+        v, _ = _pad_to_u32_view(data)
+        arg = jax.device_put(v)
+        step = lambda: _chunk_count_u32(arg, K)  # noqa: E731
+    else:
+        from kmers_tpu.pipelines.canonical_count import _chunk_count
+
+        arg = jax.device_put(data)
+        step = lambda: _chunk_count(arg, K, False)  # noqa: E731
 
     # compile + warmup (force with a host fetch: block_until_ready does not
     # reliably block through the axon transport)
-    out = _chunk_count(data, K, use_pallas)
+    out = step()
     int(np.asarray(out[3]))
 
     # steady-state streaming throughput: enqueue every rep (dispatch is
@@ -41,7 +54,7 @@ def main():
     # chunk, which a streaming pipeline does not pay
     reps = 4
     t0 = time.perf_counter()
-    outs = [_chunk_count(data, K, use_pallas) for _ in range(reps)]
+    outs = [step() for _ in range(reps)]
     for out in outs:
         int(np.asarray(out[3]))  # forces completion of the whole stream
     dt = (time.perf_counter() - t0) / reps

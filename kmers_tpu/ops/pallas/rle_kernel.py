@@ -45,10 +45,11 @@ def _roll_right(x, k: int, W: int, interpret: bool):
 
 
 def _kernel(
-    hi_ref, lo_ref, nhi_ref, nlo_ref, uh_ref, ul_ref, cnt_ref,
-    keys_scr, s_scr, *, W: int, interpret: bool,
+    hi_ref, lo_ref, nhi_ref, nlo_ref, uh_ref, ul_ref, cnt_ref, nu_ref,
+    keys_scr, s_scr, nu_scr, *, W: int, interpret: bool,
 ):
     pid = pl.program_id(0)
+    last_block = pid == pl.num_programs(0) - 1
     hi = hi_ref[:]  # (1, W)
     lo = lo_ref[:]
     lane = jax.lax.broadcasted_iota(_I32, (1, W), 1)
@@ -62,13 +63,16 @@ def _kernel(
     plo = jnp.where(lane == 0, keys_scr[1], plo)
     first = (hi != ph) | (lo != plo) | ((lane == 0) & (pid == 0))
 
-    # run ends: compare with the next element (cross-block via the next
-    # tile's first element; an extra padded tile guarantees it exists)
+    # run ends: compare with the next element.  The next-tile input specs
+    # are clamped to the last block for the final tile (no padded extra
+    # tile), where only lane W-1's next is wrong — and that element is
+    # the global last, forced to be a run end below.
     nh = _roll_right(hi, W - 1, W, interpret)
     nl = _roll_right(lo, W - 1, W, interpret)
     nh = jnp.where(lane == W - 1, nhi_ref[0, 0], nh)
     nl = jnp.where(lane == W - 1, nlo_ref[0, 0], nl)
     is_last = (hi != nh) | (lo != nl)
+    is_last = is_last | (last_block & (lane == W - 1))
 
     # run-start position at every element: log-step max-scan of
     # (first ? pos : -1), seeded with the previous block's carry
@@ -86,6 +90,21 @@ def _kernel(
     uh_ref[:] = jnp.where(emit, hi, sent)
     ul_ref[:] = jnp.where(emit, lo, sent)
     cnt_ref[:] = jnp.where(emit, pos - start + 1, 0)
+
+    # n_unique accumulates in SMEM across blocks (grid runs in order)
+    block_nu = jnp.sum(emit.astype(_I32))
+
+    @pl.when(pid == 0)
+    def _():
+        nu_scr[0] = block_nu
+
+    @pl.when(pid != 0)
+    def _():
+        nu_scr[0] = nu_scr[0] + block_nu
+
+    @pl.when(last_block)
+    def _():
+        nu_ref[0, 0] = nu_scr[0]
 
     # carries for the next block (grid steps execute in order on TPU)
     keys_scr[0] = hi[0, W - 1]
@@ -111,34 +130,50 @@ def rle_unit_pallas(shi, slo, W: int = 4096, interpret: bool = False):
         )
     grid = max(-(-n // W), 1)
     sent = jnp.asarray(_SENT, _U32)
-    # pad to (grid+1) tiles with the sentinel: padding merges into (or
-    # forms) a trailing sentinel run, which is never emitted; the extra
-    # tile guarantees the next-tile carry read exists for the last block
-    padded = (grid + 1) * W
-    hi_p = jnp.full((1, padded), sent, _U32).at[0, :n].set(shi)
-    lo_p = jnp.full((1, padded), sent, _U32).at[0, :n].set(slo)
+    if n % W == 0:
+        # the hot-path shape (the sort output is tile-aligned): zero-copy.
+        # The next-tile specs clamp at the final block; the kernel forces
+        # the global last element to be a run end.
+        hi_p = shi.reshape(1, -1)
+        lo_p = slo.reshape(1, -1)
+    else:
+        padded = grid * W
+        hi_p = jnp.full((1, padded), sent, _U32).at[0, :n].set(shi)
+        lo_p = jnp.full((1, padded), sent, _U32).at[0, :n].set(slo)
     kern = partial(_kernel, W=W, interpret=interpret)
-    uh, ul, cnt = pl.pallas_call(
+    last = grid - 1
+    uh, ul, cnt, nu = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W), lambda i: (0, i + 1), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W), lambda i: (0, i + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, W),
+                lambda i: (0, jnp.minimum(i + 1, last)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, W),
+                lambda i: (0, jnp.minimum(i + 1, last)),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, grid * W), _U32),
             jax.ShapeDtypeStruct((1, grid * W), _U32),
             jax.ShapeDtypeStruct((1, grid * W), _I32),
+            jax.ShapeDtypeStruct((1, 1), _I32),
         ],
         scratch_shapes=[
             pltpu.SMEM((2,), _U32),
+            pltpu.SMEM((1,), _I32),
             pltpu.SMEM((1,), _I32),
         ],
         interpret=interpret,
@@ -146,5 +181,4 @@ def rle_unit_pallas(shi, slo, W: int = 4096, interpret: bool = False):
     uh = uh.reshape(-1)[:n]
     ul = ul.reshape(-1)[:n]
     cnt = cnt.reshape(-1)[:n]
-    n_unique = jnp.sum((cnt > 0).astype(_I32))
-    return uh, ul, cnt, n_unique
+    return uh, ul, cnt, nu[0, 0]

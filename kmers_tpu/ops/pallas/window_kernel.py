@@ -393,6 +393,174 @@ def canonical_windows_bytes_flat_pallas(
     return hi.reshape(-1), lo.reshape(-1), n_bad, n_amb
 
 
+def _group8_of_u32(g):
+    """One u32 of 4 little-endian ASCII bytes -> (8-bit packed 2-bit
+    codes, 8-bit packed flags, n_ambiguous, n_invalid).  Byte t is base
+    4j+t; its code lands at bits (6-2t) (big-endian base order within
+    the group, matching the register layout)."""
+    word = None
+    fword = None
+    n_amb = n_bad = None
+    mask = jnp.asarray(0xFF, _U32)
+    for t in range(4):
+        b = (g >> (8 * t)) & mask
+        c, f = _classify_byte(b)
+        sh = 6 - 2 * t
+        wc = c << sh
+        fc = f << sh
+        word = wc if word is None else word | wc
+        fword = fc if fword is None else fword | fc
+        up = b & jnp.asarray(0xDF, _U32)
+        amb = _is_ambiguous_byte(b, up)
+        a32 = amb.astype(jnp.int32)
+        i32 = ((f != 0) & ~amb).astype(jnp.int32)
+        n_amb = a32 if n_amb is None else n_amb + a32
+        n_bad = i32 if n_bad is None else n_bad + i32
+    return word, fword, n_amb, n_bad
+
+
+#: packed flag group of four 'N' bytes (flag 3 at each of 4 positions)
+_N_FLAG_GROUP = 0xFF
+
+
+def _kernel_u32(
+    v_ref, next_ref, hi_ref, lo_ref, cnt_ref,
+    *, K: int, V: int, interpret: bool, emit_hash: bool,
+):
+    """Transpose-free fused front-end over the raw little-endian u32 view
+    of the byte stream: lane j holds bytes 4j..4j+3 (4 bases), packed
+    in-kernel to an 8-bit code group + 8-bit flag group; a 64-bit window
+    at base position 4j+t is assembled from groups j..j+8 via 8 lane
+    rolls.  Eliminates the (4, W) transpose (~14 ms) and the device-side
+    bitcast (~11 ms) of the byte launcher at 2^26.
+
+    Outputs are flat (1, 4V) rows per tile: position 4*(tile*V + j) + t
+    lands at flat index tile*4V + t*V + j (bijective relabeling).  The
+    final tile's carry groups are 'N' constants, so tail windows
+    sentinel without any padding copy.
+    """
+    pid = pl.program_id(0)
+    last_block = pid == pl.num_programs(0) - 1
+    g = v_ref[:]  # (1, V)
+    p, fp, n_amb, n_bad = _group8_of_u32(g)
+
+    # next-tile carry groups 0..7 (scalar core); 'N' groups on the last
+    # tile (next_ref is clamped there and must not be read as data)
+    carries = []
+    for k in range(8):
+        cw, cf, _, _ = _group8_of_u32(next_ref[0, k])
+        cw = jnp.where(last_block, jnp.asarray(0, _U32), cw)
+        cf = jnp.where(last_block, jnp.asarray(_N_FLAG_GROUP, _U32), cf)
+        carries.append((cw, cf))
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+
+    def roll_left(x, k, carry_vals):
+        if interpret:
+            r = jnp.roll(x, -k, axis=1)
+        else:
+            r = pltpu.roll(x, V - k, axis=1)
+        for i in range(k):
+            r = jnp.where(lane == V - k + i, carry_vals[i], r)
+        return r
+
+    ps = [p] + [roll_left(p, k, [c[0] for c in carries]) for k in range(1, 9)]
+    fs = [fp] + [roll_left(fp, k, [c[1] for c in carries]) for k in range(1, 9)]
+
+    def asm(xs):
+        A = (xs[0] << 24) | (xs[1] << 16) | (xs[2] << 8) | xs[3]
+        B = (xs[4] << 24) | (xs[5] << 16) | (xs[6] << 8) | xs[7]
+        return A, B, xs[8]
+
+    A, B, C = asm(ps)
+    FA, FB, FC = asm(fs)
+    s_out = 64 - 2 * K
+    sent = jnp.asarray(_SENT, _U32)
+    for t in range(4):
+        sh = 2 * t
+        if t == 0:
+            hf, lf, hg, lg = A, B, FA, FB
+        else:
+            hf = (A << sh) | (B >> (32 - sh))
+            lf = (B << sh) | (C >> (8 - sh))
+            hg = (FA << sh) | (FB >> (32 - sh))
+            lg = (FB << sh) | (FC >> (8 - sh))
+        fh, fl = _shr64(hf, lf, s_out)
+        gh, gl = _shr64(hg, lg, s_out)
+        ch, cl = _canonical(fh, fl, K, s_out)
+        if emit_hash:
+            ch, cl = _fx_mul(ch, cl)
+        bad = (gh | gl) != 0
+        hi_ref[0:1, t * V : (t + 1) * V] = jnp.where(bad, sent, ch)
+        lo_ref[0:1, t * V : (t + 1) * V] = jnp.where(bad, sent, cl)
+
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    tile_counts = jnp.where(
+        lane128 == 0,
+        jnp.sum(n_bad),
+        jnp.where(lane128 == 1, jnp.sum(n_amb), 0),
+    )
+
+    @pl.when(pid == 0)
+    def _():
+        cnt_ref[:] = tile_counts
+
+    @pl.when(pid != 0)
+    def _():
+        cnt_ref[:] = cnt_ref[:] + tile_counts
+
+
+def canonical_windows_u32_pallas(
+    v_u32, K: int, V: int = 4096, interpret: bool = False,
+    emit_hash: bool = False,
+):
+    """Fused front-end over the host-side little-endian u32 view of the
+    byte stream (``np.frombuffer(bytes, '<u4')`` — zero-copy on the
+    host, no device-side bitcast/transpose/pad).
+
+    ``v_u32.shape[0]`` must be a multiple of ``V`` (callers pad the byte
+    chunk with 'N' to a multiple of 4*V on the host).  Returns
+    ``(hi, lo, n_invalid, n_ambig)``: flat uint32 window registers in the
+    tile-relabeled order (bijective; counting is order-agnostic), the
+    count sentinel at flagged/tail windows, and the byte error counters
+    over all 4*len(v_u32) bytes (callers discount their host padding).
+    """
+    if not 1 <= K <= 31:
+        raise ValueError("fused u32 canonical windows support 1 <= K <= 31")
+    n4 = v_u32.shape[0]
+    if n4 % V != 0:
+        raise ValueError(f"u32 view length {n4} must be a multiple of V={V}")
+    grid = n4 // V
+    last = grid - 1
+    kern = partial(
+        _kernel_u32, K=K, V=V, interpret=interpret, emit_hash=emit_hash
+    )
+    hi, lo, cnt = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, V), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, V),
+                lambda i: (0, jnp.minimum(i + 1, last)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 4 * V), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * V), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 4 * n4), _U32),
+            jax.ShapeDtypeStruct((1, 4 * n4), _U32),
+            jax.ShapeDtypeStruct((1, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(v_u32.reshape(1, -1), v_u32.reshape(1, -1))
+    return hi.reshape(-1), lo.reshape(-1), cnt[0, 0], cnt[0, 1]
+
+
 def _launch_bytes(bytes_u8, K, W, interpret, emit_hash):
     from jax import lax
 

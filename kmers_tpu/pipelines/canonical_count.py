@@ -105,6 +105,38 @@ def _chunk_count(bytes_u8, K: int, use_pallas: bool = False):
     return uh, ul, cnt, nu, n_invalid, n_ambig
 
 
+#: the fused u32 kernel's lane-tile width; byte chunks are host-padded
+#: with 'N' to a multiple of 4 * _V_U32 bytes (a zero-copy '<u4' view)
+_V_U32 = 4096
+
+
+def _pad_to_u32_view(chunk: np.ndarray):
+    """Host-side prep for the u32 front-end: pad bytes with 'N' to a
+    multiple of 4*V and return (little-endian u32 view, n_pad_bytes).
+    Zero device work — this replaces the in-jit pad copy, the device
+    bitcast, and the (4, W) transpose (~28 ms at 2^26 on v5e)."""
+    unit = 4 * _V_U32
+    pad = (-chunk.shape[0]) % unit
+    if pad or not chunk.flags["C_CONTIGUOUS"]:
+        chunk = np.concatenate([chunk, np.full(pad, ord("N"), np.uint8)])
+    return chunk.view("<u4"), pad
+
+
+@partial(jax.jit, static_argnames=("K", "checked"))
+def _chunk_count_u32(v_u32, K: int, checked: bool = False):
+    """TPU hot path: fused u32 front-end kernel -> sort -> fused RLE."""
+    from ..ops.count import SENTINEL
+    from ..ops.pallas.window_kernel import canonical_windows_u32_pallas
+
+    hi, lo, n_bad, n_amb = canonical_windows_u32_pallas(v_u32, K, V=_V_U32)
+    uh, ul, cnt, nu = sort_count(hi, lo, None, use_pallas=True)
+    if not checked:
+        return uh, ul, cnt, nu, n_bad, n_amb
+    sent = jnp.asarray(SENTINEL, jnp.uint32)
+    n_valid = jnp.sum((hi != sent) | (lo != sent))
+    return uh, ul, cnt, nu, n_bad, n_amb, n_valid, jnp.sum(cnt)
+
+
 @partial(jax.jit, static_argnames=("K", "use_pallas"))
 def _chunk_count_checked(bytes_u8, K: int, use_pallas: bool = False):
     """Checked-mode variant: also returns (n_valid_windows, n_counted) for
@@ -207,16 +239,21 @@ def canonical_count_bytes(
             chunk = np.concatenate(
                 [chunk, np.full(pad, ord("N"), np.uint8)]
             )
+        if use_pallas:
+            # TPU hot path: host-side u32 view, fused Mosaic front-end
+            v, host_pad = _pad_to_u32_view(chunk)
+            total_pad += host_pad
+            out = _chunk_count_u32(jnp.asarray(v), K, checked=track)
+        elif track:
+            out = _chunk_count_checked(jnp.asarray(chunk), K, use_pallas)
+        else:
+            out = _chunk_count(jnp.asarray(chunk), K, use_pallas)
         if track:
-            uh, ul, cnt, nu, n_inv, n_amb, n_val, n_cnt = (
-                _chunk_count_checked(jnp.asarray(chunk), K, use_pallas)
-            )
+            uh, ul, cnt, nu, n_inv, n_amb, n_val, n_cnt = out
             dev_valid = dev_valid + n_val.astype(dev_valid.dtype)
             dev_counted = dev_counted + n_cnt.astype(dev_counted.dtype)
         else:
-            uh, ul, cnt, nu, n_inv, n_amb = _chunk_count(
-                jnp.asarray(chunk), K, use_pallas
-            )
+            uh, ul, cnt, nu, n_inv, n_amb = out
         dev_invalid = dev_invalid + n_inv.astype(jnp.int32)
         dev_ambig = dev_ambig + n_amb.astype(jnp.int32)
         total_pad += pad

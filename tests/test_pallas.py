@@ -130,6 +130,61 @@ class TestFusedBytesKernel:
 
     @pytest.mark.parametrize("K", [1, 5, 31])
     @pytest.mark.parametrize("L", [1, 17, 1000, 5003])
+    def test_u32_variant_parity(self, rng, K, L):
+        """The transpose-free u32 front-end must hold the same window
+        multiset as the byte kernel (flat index 4*(tile*V+j)+t lands at
+        tile*4V + t*V + j) and reproduce the error counters."""
+        from kmers_tpu.ops.pallas.window_kernel import (
+            canonical_windows_bytes_pallas,
+            canonical_windows_u32_pallas,
+        )
+
+        if K > L:
+            pytest.skip("window longer than input")
+        V = 128
+        pool = np.frombuffer(b"ACGTNacgtu-X", dtype=np.uint8)
+        b = pool[rng.integers(0, len(pool), L)]
+        pad = (-L) % (4 * V)
+        padded = np.concatenate([b, np.full(pad, ord("N"), np.uint8)])
+        v = padded.view("<u4")
+        h1, l1, n_bad, n_amb = canonical_windows_u32_pallas(
+            v, K, V=V, interpret=True
+        )
+        h0, l0 = canonical_windows_bytes_pallas(b, K, W=128, interpret=True)
+        v0 = (np.asarray(h0).astype(np.uint64) << 32) | np.asarray(l0).astype(
+            np.uint64
+        )
+        v1 = (np.asarray(h1).astype(np.uint64) << 32) | np.asarray(l1).astype(
+            np.uint64
+        )
+        SENT64 = (0xFFFFFFFF << 32) | 0xFFFFFFFF
+        real0 = np.sort(v0.reshape(-1)[v0.reshape(-1) != SENT64])
+        real1 = np.sort(v1[v1 != SENT64])
+        assert np.array_equal(real0, real1)
+        # exact relabeling: global position p = 4*(tile*V + j) + t
+        n_pos = padded.shape[0]
+        flat = np.full(v1.shape, SENT64, np.uint64)
+        v0_lin = np.zeros(n_pos, np.uint64)
+        # linearize the byte kernel's offset-major (r, q): position 16q+r
+        Q0 = v0.shape[1]
+        for r in range(16):
+            for q in range(Q0):
+                p = 16 * q + r
+                if p < n_pos:
+                    v0_lin[p] = v0[r, q]
+        for p in range(n_pos):
+            tile, rem = divmod(p, 4 * V)
+            j, t = divmod(rem, 4)
+            want = v0_lin[p] if p < 16 * Q0 else SENT64
+            flat[tile * 4 * V + t * V + j] = want
+        assert np.array_equal(flat, v1)
+        _, certain, ambig = classify_2bit(padded)
+        invalid = ~(np.asarray(certain) | np.asarray(ambig))
+        assert int(n_bad) == int(invalid.sum())
+        assert int(n_amb) == int(np.asarray(ambig).sum())
+
+    @pytest.mark.parametrize("K", [1, 5, 31])
+    @pytest.mark.parametrize("L", [1, 17, 1000, 5003])
     def test_flat_variant_parity(self, rng, K, L):
         """The flat-output + fused-counters kernel must hold the same
         window multiset as the (16, Q) kernel (flat index tile*16W + r*W
