@@ -1,18 +1,24 @@
 """Single-pass run-length-encode Pallas kernel for sorted kmer streams.
 
 Replaces the XLA formulation in :func:`kmers_tpu.ops.count._run_length_encode`
-(neighbor compares + ``lax.cummax`` + wheres — ~6 HBM passes and two scan
-HLOs, measured ~31 ms at 2^26 on v5e) with one fused pass (~2 GB of HBM
-traffic total): the grid walks the stream sequentially, each block computes
-run boundaries from rolled lane vectors, run-start positions from an
-in-block log-step max-scan, and carries (last key, last run-start) across
-blocks in SMEM scratch — the shard-level analogue of the reference's
-cross-word carry propagation (/root/reference/src/tuple_bitflipping.jl:24-46).
+(neighbor compares + ``lax.cummax`` + wheres — several HBM passes and two
+scan HLOs) with one fused pass: the grid walks the stream sequentially in
+(8, W) tiles laid out row-major (position = 8W*tile + W*r + l — the
+natural memory order, so tile-aligned inputs are zero-copy), computes run
+boundaries from rolled lane/sublane vectors, run-start positions from a
+per-row log-step max-scan plus an 8-row prefix, and carries
+(last key, last run-start, n_unique) across tiles in SMEM scratch — the
+shard-level analogue of the reference's cross-word carry propagation
+(/root/reference/src/tuple_bitflipping.jl:24-46).
+
+The (8, W) layout matters: a (1, W) vector occupies 1/8 of each VREG's
+sublanes, so the old single-row kernel ran the scan at 1/8 VPU
+utilization (measured 23 ms at 2^26 on v5e); the 8-row tile does the
+same per-element work at full utilization.
 
 Semantics are identical to the unit-weight ``_run_length_encode``: the
 table is sentinel-interspersed — each run's last element keeps the kmer
-and its total; everything else is sentinel/zero padding.  Callers compute
-``n_unique = sum(counts > 0)``.
+and its total; everything else is sentinel/zero padding.
 """
 
 from __future__ import annotations
@@ -37,11 +43,18 @@ _I32 = jnp.int32
 _SENT = 0xFFFFFFFF
 
 
-def _roll_right(x, k: int, W: int, interpret: bool):
+def _roll_lanes(x, k: int, interpret: bool):
     """Lane l receives the value of lane l-k (circularly)."""
     if interpret:
         return jnp.roll(x, k, axis=1)
     return pltpu.roll(x, k, axis=1)
+
+
+def _roll_rows(x, k: int, interpret: bool):
+    """Row r receives the value of row r-k (circularly)."""
+    if interpret:
+        return jnp.roll(x, k, axis=0)
+    return pltpu.roll(x, k, axis=0)
 
 
 def _kernel(
@@ -50,40 +63,56 @@ def _kernel(
 ):
     pid = pl.program_id(0)
     last_block = pid == pl.num_programs(0) - 1
-    hi = hi_ref[:]  # (1, W)
+    hi = hi_ref[:]  # (8, W), row-major linear order
     lo = lo_ref[:]
-    lane = jax.lax.broadcasted_iota(_I32, (1, W), 1)
-    pos = pid * W + lane  # global linear position (n < 2^31)
+    lane = jax.lax.broadcasted_iota(_I32, (8, W), 1)
+    row = jax.lax.broadcasted_iota(_I32, (8, W), 0)
+    pos = (pid * 8 + row) * W + lane  # global linear position (n < 2^31)
     sent = jnp.asarray(_SENT, _U32)
 
-    # run starts: compare with the previous element (cross-block via carry)
-    ph = _roll_right(hi, 1, W, interpret)
-    plo = _roll_right(lo, 1, W, interpret)
-    ph = jnp.where(lane == 0, keys_scr[0], ph)
-    plo = jnp.where(lane == 0, keys_scr[1], plo)
-    first = (hi != ph) | (lo != plo) | ((lane == 0) & (pid == 0))
+    def prev_of(x, carry):
+        # lane l-1 within the row; row boundaries take the previous
+        # row's last lane via a second (row) roll of the lane-rolled
+        # tile — full-tile ops only, no sub-tile slices
+        p0 = _roll_lanes(x, 1, interpret)
+        pr = _roll_rows(p0, 1, interpret)  # at (r, 0): x[r-1, W-1]
+        p = jnp.where(lane == 0, pr, p0)
+        return jnp.where((lane == 0) & (row == 0), carry, p)
 
-    # run ends: compare with the next element.  The next-tile input specs
-    # are clamped to the last block for the final tile (no padded extra
-    # tile), where only lane W-1's next is wrong — and that element is
-    # the global last, forced to be a run end below.
-    nh = _roll_right(hi, W - 1, W, interpret)
-    nl = _roll_right(lo, W - 1, W, interpret)
-    nh = jnp.where(lane == W - 1, nhi_ref[0, 0], nh)
-    nl = jnp.where(lane == W - 1, nlo_ref[0, 0], nl)
+    ph = prev_of(hi, keys_scr[0])
+    plo = prev_of(lo, keys_scr[1])
+    first = (hi != ph) | (lo != plo) | (pos == 0)
+
+    def next_of(x, nxt00):
+        n0 = _roll_lanes(x, W - 1, interpret)
+        nr = _roll_rows(n0, 7, interpret)  # at (r, W-1): x[r+1, 0]
+        n = jnp.where(lane == W - 1, nr, n0)
+        return jnp.where((lane == W - 1) & (row == 7), nxt00, n)
+
+    nh = next_of(hi, nhi_ref[0, 0])
+    nl = next_of(lo, nlo_ref[0, 0])
     is_last = (hi != nh) | (lo != nl)
-    is_last = is_last | (last_block & (lane == W - 1))
+    is_last = is_last | (last_block & (lane == W - 1) & (row == 7))
 
-    # run-start position at every element: log-step max-scan of
-    # (first ? pos : -1), seeded with the previous block's carry
+    # run-start position: per-row log-step max-scan of (first ? pos : -1),
+    # then an 8-row exclusive prefix, then the cross-tile carry
     x = jnp.where(first, pos, -1)
     k = 1
     while k < W:
-        sh = _roll_right(x, k, W, interpret)
+        sh = _roll_lanes(x, k, interpret)
         x = jnp.maximum(x, jnp.where(lane < k, -1, sh))
         k *= 2
+    # x is a running row max, so the row total is the cross-lane max
+    incl = jnp.max(x, axis=1, keepdims=True)  # (8, 1) inclusive per row
+    k = 1
+    while k < 8:
+        sh = _roll_rows(incl, k, interpret)
+        incl = jnp.maximum(incl, jnp.where(row[:, :1] < k, -1, sh))
+        k *= 2
+    excl = _roll_rows(incl, 1, interpret)
+    excl = jnp.where(row[:, :1] == 0, -1, excl)
     carry_s = jnp.where(pid == 0, 0, s_scr[0])
-    start = jnp.maximum(x, carry_s)
+    start = jnp.maximum(jnp.maximum(x, excl), carry_s)
 
     is_sent = (hi == sent) & (lo == sent)
     emit = is_last & (~is_sent)
@@ -91,7 +120,6 @@ def _kernel(
     ul_ref[:] = jnp.where(emit, lo, sent)
     cnt_ref[:] = jnp.where(emit, pos - start + 1, 0)
 
-    # n_unique accumulates in SMEM across blocks (grid runs in order)
     block_nu = jnp.sum(emit.astype(_I32))
 
     @pl.when(pid == 0)
@@ -107,9 +135,9 @@ def _kernel(
         nu_ref[0, 0] = nu_scr[0]
 
     # carries for the next block (grid steps execute in order on TPU)
-    keys_scr[0] = hi[0, W - 1]
-    keys_scr[1] = lo[0, W - 1]
-    s_scr[0] = start[0, W - 1]
+    keys_scr[0] = hi[7, W - 1]
+    keys_scr[1] = lo[7, W - 1]
+    s_scr[0] = start[7, W - 1]
 
 
 @partial(jax.jit, static_argnames=("W", "interpret"))
@@ -128,47 +156,48 @@ def rle_unit_pallas(shi, slo, W: int = 4096, interpret: bool = False):
             jnp.zeros(0, _I32),
             jnp.zeros((), _I32),
         )
-    grid = max(-(-n // W), 1)
+    tile = 8 * W
+    grid = max(-(-n // tile), 1)
     sent = jnp.asarray(_SENT, _U32)
-    if n % W == 0:
-        # the hot-path shape (the sort output is tile-aligned): zero-copy.
-        # The next-tile specs clamp at the final block; the kernel forces
-        # the global last element to be a run end.
-        hi_p = shi.reshape(1, -1)
-        lo_p = slo.reshape(1, -1)
+    if n == grid * tile:
+        # tile-aligned hot path (the sort output): zero-copy reshape
+        hi_p = shi.reshape(grid * 8, W)
+        lo_p = slo.reshape(grid * 8, W)
     else:
-        padded = grid * W
-        hi_p = jnp.full((1, padded), sent, _U32).at[0, :n].set(shi)
-        lo_p = jnp.full((1, padded), sent, _U32).at[0, :n].set(slo)
+        padded = grid * tile
+        hi_p = jnp.full(padded, sent, _U32).at[:n].set(shi).reshape(-1, W)
+        lo_p = jnp.full(padded, sent, _U32).at[:n].set(slo).reshape(-1, W)
     kern = partial(_kernel, W=W, interpret=interpret)
-    last = grid - 1
+    last_row = grid * 8 - 1
     uh, ul, cnt, nu = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # one element of the next tile (its [0, 0]) for the final
+            # is_last decision; clamped on the last tile (forced there)
             pl.BlockSpec(
-                (1, W),
-                lambda i: (0, jnp.minimum(i + 1, last)),
+                (1, 1),
+                lambda i: (jnp.minimum((i + 1) * 8, last_row), 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, W),
-                lambda i: (0, jnp.minimum(i + 1, last)),
+                (1, 1),
+                lambda i: (jnp.minimum((i + 1) * 8, last_row), 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, grid * W), _U32),
-            jax.ShapeDtypeStruct((1, grid * W), _U32),
-            jax.ShapeDtypeStruct((1, grid * W), _I32),
+            jax.ShapeDtypeStruct((grid * 8, W), _U32),
+            jax.ShapeDtypeStruct((grid * 8, W), _U32),
+            jax.ShapeDtypeStruct((grid * 8, W), _I32),
             jax.ShapeDtypeStruct((1, 1), _I32),
         ],
         scratch_shapes=[

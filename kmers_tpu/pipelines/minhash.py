@@ -66,22 +66,21 @@ def _smallest_prefix(hh, hl, prefix: int):
 
 
 @partial(jax.jit, static_argnames=("K", "prefix"))
-def _sketch_chunk_pallas(bytes_u8, K: int, prefix: int):
-    """Fused-kernel variant: Mosaic bytes->canonical->FxHash kernel ->
-    two-stage top_k.  Classify+pack happen inside the kernel (the error
-    counter is a fused reduction).  Invalid windows hash to all-ones; no
-    valid K<=31 kmer can (the FxHash preimage of ~0 is >= 2^62), so the
-    host-side filter on the sentinel is exact."""
-    from ..ops.pallas.window_kernel import canonical_hash_bytes_pallas
+def _sketch_chunk_pallas(v_u32, K: int, prefix: int):
+    """Fused-kernel variant: Mosaic u32-view -> canonical -> FxHash
+    kernel -> two-stage top_k.  Classify + pack + the error counter all
+    happen inside the kernel (no device-side bitcast/transpose — the
+    input is the host's '<u4' byte view).  Invalid windows hash to
+    all-ones; no valid K<=31 kmer can (the FxHash preimage of ~0 is
+    >= 2^62), so the host-side filter on the sentinel is exact."""
+    from ..ops.pallas.window_kernel import canonical_windows_u32_pallas
 
-    _, certain, ambig = classify_2bit(bytes_u8)
-    invalid = ~(certain | ambig)
-    hh_om, hl_om = canonical_hash_bytes_pallas(bytes_u8, K)
-    cand_hh, cand_hl, boundary = _smallest_prefix(
-        hh_om.reshape(-1), hl_om.reshape(-1), prefix
+    hh, hl, n_bad, _n_amb = canonical_windows_u32_pallas(
+        v_u32, K, emit_hash=True
     )
+    cand_hh, cand_hl, boundary = _smallest_prefix(hh, hl, prefix)
     shh, shl = jax.lax.sort((cand_hh, cand_hl), num_keys=2)
-    return shh, shl, jnp.sum(invalid), boundary
+    return shh, shl, n_bad, boundary
 
 
 @partial(jax.jit, static_argnames=("K", "prefix"))
@@ -129,10 +128,18 @@ def minhash_sketch(
         # device-validated bit-exact vs the jnp path and ~21% faster
         # (289 vs 239 Mbases/s @ 2^26 on v5e); Mosaic needs a TPU backend
         use_pallas = jax.default_backend() not in ("cpu",)
-    chunk_fn = _sketch_chunk_pallas if use_pallas else _sketch_chunk
-
     def run(prefix):
-        hh, hl, n_invalid, boundary = chunk_fn(jnp.asarray(arr), K, prefix)
+        if use_pallas:
+            from .canonical_count import _pad_to_u32_view
+
+            v, _ = _pad_to_u32_view(arr)
+            hh, hl, n_invalid, boundary = _sketch_chunk_pallas(
+                jnp.asarray(v), K, prefix
+            )
+        else:
+            hh, hl, n_invalid, boundary = _sketch_chunk(
+                jnp.asarray(arr), K, prefix
+            )
         if int(n_invalid) and not skip_ambiguous:
             raise EncodeError(DNAAlphabet2(), "<batch input>")
         h = (np.asarray(hh).astype(np.uint64) << np.uint64(32)) | np.asarray(

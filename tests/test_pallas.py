@@ -355,6 +355,23 @@ class TestRleKernel:
         lo = np.zeros(8 * W, np.uint32)
         self._check(hi, lo, W=W)
 
+    def test_tile_aligned_zero_copy(self, rng):
+        # n == grid * 8W exactly: the zero-copy reshape path, with runs
+        # crossing row and tile boundaries
+        W = 128
+        n = 3 * 8 * W
+        hi = np.sort(rng.integers(0, 40, n).astype(np.uint32))
+        lo = np.zeros(n, np.uint32)
+        self._check(hi, lo, W=W)
+
+    def test_row_boundary_runs(self):
+        # runs switching exactly at row boundaries (multiples of W inside
+        # a tile) — exercises the sublane-roll prev/next paths
+        W = 128
+        hi = np.repeat(np.arange(16, dtype=np.uint32), W)
+        lo = np.zeros(16 * W, np.uint32)
+        self._check(hi, lo, W=W)
+
     def test_length_not_multiple_of_w(self, rng):
         n = 777
         hi = rng.integers(0, 9, n).astype(np.uint32)

@@ -35,16 +35,38 @@ def main():
     if sizes[-1] != n_avail:
         sizes.append(n_avail)  # always measure the full slice
 
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kmers_tpu.parallel.pipeline import (
+        _shard_with_halo,
+        sharded_count_step,
+    )
+
+    arr = np.frombuffer(data, dtype=np.uint8)
     results = []
     base = None
     for n in sizes:
+        import jax
+
         mesh = data_mesh(n)
-        cfg = ShardedCountConfig(K=31)
-        sharded_canonical_count(data, cfg, mesh)  # compile + warmup
+        K = 31
+        shards, shard = _shard_with_halo(arr.copy(), n, K)
+        cap = int(np.ceil(shard * 2.0 / n))
+        use_pallas = jax.default_backend() not in ("cpu",)
+        step = sharded_count_step(mesh, K, shard, cap, use_pallas)
+        sharding = NamedSharding(mesh, P(mesh.axis_names[0], None))
+        shards_dev = jax.device_put(shards, sharding)
+        # measure the device-side SPMD counting step (the full pipeline's
+        # host materialization fetches the padded table over the
+        # transport, which benchmarks the link, not the counting)
+        out = step(shards_dev)
+        int(np.asarray(out[3])[0])  # compile + warmup
+        reps = 3
         t0 = time.perf_counter()
-        for _ in range(3):
-            sharded_canonical_count(data, cfg, mesh)
-        dt = (time.perf_counter() - t0) / 3
+        outs = [step(shards_dev) for _ in range(reps)]
+        for o in outs:
+            int(np.asarray(o[3])[0])
+        dt = (time.perf_counter() - t0) / reps
         tput = L / dt
         if base is None:
             base = tput
