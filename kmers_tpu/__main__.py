@@ -23,13 +23,20 @@ def _load(path: str):
 
 
 def cmd_count(args):
+    import contextlib
+
     from .pipelines.canonical_count import CountConfig, canonical_count_records
-    from .utils import save_count_table
+    from .utils import Metrics, checked, save_count_table
 
     seq, off = _load(args.input)
-    kmers, counts = canonical_count_records(
-        seq, off, CountConfig(K=args.k)
-    )
+    m = Metrics() if args.metrics else None
+    ctx = checked() if args.checked else contextlib.nullcontext()
+    with ctx:
+        kmers, counts = canonical_count_records(
+            seq, off, CountConfig(K=args.k), metrics=m
+        )
+    if m is not None:
+        print(m.dump(), file=sys.stderr)
     if args.output:
         save_count_table(args.output, kmers, counts, K=args.k)
         print(
@@ -117,6 +124,15 @@ def main(argv=None):
     c.add_argument("-k", type=int, default=31)
     c.add_argument("-o", "--output", help="count-table checkpoint directory")
     c.add_argument("--top", type=int, default=10, help="print N most frequent")
+    c.add_argument(
+        "--metrics", action="store_true",
+        help="print per-batch stats (bases in, windows skipped, ...) to stderr",
+    )
+    c.add_argument(
+        "--checked", action="store_true",
+        help="enable checked mode (validates unsafe preconditions and "
+        "count conservation; see docs/debugging.md)",
+    )
     c.set_defaults(fn=cmd_count)
 
     s = sub.add_parser("sketch", help="MinHash sketch")

@@ -168,23 +168,25 @@ def rle_unit_pallas(shi, slo, W: int = 4096, interpret: bool = False):
         hi_p = jnp.full(padded, sent, _U32).at[:n].set(shi).reshape(-1, W)
         lo_p = jnp.full(padded, sent, _U32).at[:n].set(slo).reshape(-1, W)
     kern = partial(_kernel, W=W, interpret=interpret)
-    last_row = grid * 8 - 1
+    n_blocks = grid  # (8, 128)-block row units == (8, W)-tile row units
     uh, ul, cnt, nu = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((8, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            # one element of the next tile (its [0, 0]) for the final
-            # is_last decision; clamped on the last tile (forced there)
+            # the next tile's first (8, 128) sub-block — only its [0, 0]
+            # element is read (the final is_last decision); Mosaic block
+            # shapes must be (8k, 128m)-divisible, so this is the
+            # smallest legal read.  Clamped on the last tile (forced).
             pl.BlockSpec(
-                (1, 1),
-                lambda i: (jnp.minimum((i + 1) * 8, last_row), 0),
+                (8, 128),
+                lambda i: (jnp.minimum(i + 1, n_blocks - 1), 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1),
-                lambda i: (jnp.minimum((i + 1) * 8, last_row), 0),
+                (8, 128),
+                lambda i: (jnp.minimum(i + 1, n_blocks - 1), 0),
                 memory_space=pltpu.VMEM,
             ),
         ],

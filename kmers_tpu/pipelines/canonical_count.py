@@ -412,7 +412,7 @@ def join_records_with_n(seq_bytes, offsets) -> np.ndarray:
 
 
 def canonical_count_records(
-    seq_bytes, offsets, config: CountConfig = CountConfig()
+    seq_bytes, offsets, config: CountConfig = CountConfig(), metrics=None
 ):
     """Count canonical K-mers over a CSR record batch (e.g. from
     :func:`kmers_tpu.io.read_fastx`): windows never span record
@@ -421,7 +421,9 @@ def canonical_count_records(
     """
     if not config.skip_ambiguous:
         raise ValueError("record-batch counting requires skip_ambiguous=True")
-    return canonical_count_bytes(join_records_with_n(seq_bytes, offsets), config)
+    return canonical_count_bytes(
+        join_records_with_n(seq_bytes, offsets), config, metrics=metrics
+    )
 
 
 def composition_vector(

@@ -34,6 +34,17 @@ def test_count(fasta, capsys):
     assert stats["total"] == 8 * (120 - 15 + 1)
 
 
+def test_count_metrics_and_checked(fasta, capsys):
+    run_cli("count", fasta, "-k", "15", "--top", "1", "--metrics", "--checked")
+    out = capsys.readouterr()
+    m = json.loads(out.err.strip().splitlines()[0])
+    assert m["windows_out"] == 8 * (120 - 15 + 1)
+    assert m["n_batches"] == 1
+    from kmers_tpu.utils import checked_mode
+
+    assert not checked_mode()  # flag restored after the run
+
+
 def test_count_checkpoint(fasta, tmp_path, capsys):
     run_cli("count", fasta, "-k", "15", "-o", tmp_path / "tbl")
     out = json.loads(capsys.readouterr().out.strip())

@@ -107,3 +107,56 @@ class TestTranslationProperties:
         for i, cs in enumerate(sets):
             codon = Kmer(RNAAlphabet2(), s[3 * i : 3 * i + 3])
             assert codon in cs
+
+
+class TestPipelineProperties:
+    """End-to-end array-plane invariants vs the scalar oracle."""
+
+    @given(
+        st.text(alphabet="ACGTN", min_size=1, max_size=300),
+        st.integers(min_value=1, max_value=31),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_counting_oracle(self, s, K):
+        import collections
+
+        import numpy as np
+
+        from kmers_tpu import UnambiguousDNAMers
+        from kmers_tpu.pipelines import canonical_count
+
+        kmers, counts = canonical_count(s, K=K)
+        oracle = collections.Counter(
+            k.canonical().value for k, _ in UnambiguousDNAMers(K, s)
+        )
+        assert dict(zip(kmers.tolist(), counts.tolist())) == dict(oracle)
+        assert np.array_equal(np.sort(kmers), kmers)
+
+    @given(
+        st.text(alphabet="ACGTNACGT", min_size=30, max_size=200),
+        st.integers(min_value=2, max_value=9),
+        st.integers(min_value=2, max_value=8),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_minimizer_skip_oracle(self, s, K, W):
+        from kmers_tpu import DNAKmer, fx_hash
+        from kmers_tpu.pipelines import minimizer_select
+
+        vals, pos = minimizer_select(s, K=K, W=W, skip_ambiguous=True)
+        n = len(s) - K + 1
+        cand = {}
+        for i in range(max(n, 0)):
+            win = s[i : i + K]
+            if all(c in "ACGT" for c in win):
+                kk = DNAKmer(win).canonical()
+                cand[i] = (fx_hash(kk), i, kk.value)
+        want = []
+        for j in range(max(n - W + 1, 0)):
+            xs = [cand[i] for i in range(j, j + W) if i in cand]
+            if not xs:
+                continue
+            _, p, v = min(xs)
+            if not want or want[-1][0] != p:
+                want.append((p, v))
+        assert pos.tolist() == [p for p, _ in want]
+        assert vals.tolist() == [v for _, v in want]
