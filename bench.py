@@ -51,8 +51,11 @@ def main():
     # steady-state streaming throughput: enqueue every rep (dispatch is
     # async), fetch once at the end — a per-rep fetch would add one full
     # host<->device round trip (~26 ms through a remote transport) per
-    # chunk, which a streaming pipeline does not pay
-    reps = 4
+    # chunk, which a streaming pipeline does not pay.  16 reps: at 4 the
+    # first-dispatch queue ramp still distorts the mean by ~12% (measured
+    # 46.6 ms/chunk at reps=4 vs 41.1 ms at reps=16 on v5e, device time
+    # 39.1 ms — tools/tpu_round3e.py)
+    reps = 16
     t0 = time.perf_counter()
     outs = [step() for _ in range(reps)]
     for out in outs:
