@@ -12,3 +12,10 @@ from .canonical_count import (
 )
 from .minhash import minhash_sketch, jaccard
 from .extract import extract_kmers, spaced_kmers, minimizer_select, syncmer_select
+from .tables import (
+    merge_counts,
+    intersect_counts,
+    subtract_counts,
+    multiplicity_spectrum,
+    merge_counts_device,
+)

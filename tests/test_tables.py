@@ -1,0 +1,118 @@
+"""Count-table algebra (pipelines/tables.py) vs collections.Counter
+oracles — the user-side dict idioms of the reference's composition
+workflow (/root/reference/docs/src/composition.md), as framework ops."""
+
+import collections
+
+import numpy as np
+import pytest
+
+from kmers_tpu.pipelines import (
+    CountConfig,
+    canonical_count_bytes,
+    intersect_counts,
+    merge_counts,
+    merge_counts_device,
+    multiplicity_spectrum,
+    subtract_counts,
+)
+
+
+def _table(counter):
+    keys = np.array(sorted(counter), dtype=np.uint64)
+    return keys, np.array([counter[k] for k in sorted(counter)], np.int64)
+
+
+def _counter(kmers, counts):
+    return collections.Counter(dict(zip(kmers.tolist(), counts.tolist())))
+
+
+@pytest.fixture(scope="module")
+def two_tables():
+    rng = np.random.default_rng(5)
+    a = collections.Counter(rng.integers(0, 50, 300).tolist())
+    b = collections.Counter(rng.integers(25, 75, 300).tolist())
+    a = collections.Counter({np.uint64(k): v for k, v in a.items()})
+    b = collections.Counter({np.uint64(k): v for k, v in b.items()})
+    return a, b
+
+
+def test_merge_counts_is_counter_sum(two_tables):
+    a, b = two_tables
+    kmers, counts = merge_counts(*_table(a), *_table(b))
+    assert _counter(kmers, counts) == a + b
+    assert np.all(kmers[1:] > kmers[:-1])  # sorted unique
+
+
+def test_intersect_min_is_counter_and(two_tables):
+    a, b = two_tables
+    kmers, counts = intersect_counts(*_table(a), *_table(b), mode="min")
+    assert _counter(kmers, counts) == (a & b)
+
+
+def test_intersect_sum_totals(two_tables):
+    a, b = two_tables
+    kmers, counts = intersect_counts(*_table(a), *_table(b), mode="sum")
+    expect = {k: a[k] + b[k] for k in set(a) & set(b)}
+    assert dict(zip(kmers.tolist(), counts.tolist())) == expect
+    with pytest.raises(ValueError):
+        intersect_counts(*_table(a), *_table(b), mode="max")
+
+
+def test_subtract_is_saturating_counter_diff(two_tables):
+    a, b = two_tables
+    kmers, counts = subtract_counts(*_table(a), *_table(b))
+    assert _counter(kmers, counts) == (a - b)
+
+
+def test_merge_counts_device_matches_host(two_tables):
+    a, b = two_tables
+    hk, hc = merge_counts(*_table(a), *_table(b))
+    dk, dc = merge_counts_device(*_table(a), *_table(b))
+    assert np.array_equal(hk, dk) and np.array_equal(hc, dc)
+
+
+def test_merge_matches_counting_concatenated_input():
+    rng = np.random.default_rng(6)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    s1 = bytes(acgt[rng.integers(0, 4, 3000)])
+    s2 = bytes(acgt[rng.integers(0, 4, 3000)])
+    cfg = CountConfig(K=15)
+    k1, c1 = canonical_count_bytes(s1, cfg)
+    k2, c2 = canonical_count_bytes(s2, cfg)
+    km, cm = merge_counts(k1, c1, k2, c2)
+    # merging per-record tables == counting the N-joined records
+    kj, cj = canonical_count_bytes(s1 + b"N" + s2, cfg)
+    assert np.array_equal(km, kj) and np.array_equal(cm, cj)
+
+
+def test_merge_counts_object_dtype_k_gt_31():
+    # K>31 tables are object arrays of Python ints
+    a = np.array([1 << 70, (1 << 80) + 3], dtype=object)
+    ac = np.array([2, 1], dtype=np.int64)
+    b = np.array([(1 << 80) + 3, 1 << 90], dtype=object)
+    bc = np.array([5, 4], dtype=np.int64)
+    kmers, counts = merge_counts(a, ac, b, bc)
+    assert kmers.tolist() == [1 << 70, (1 << 80) + 3, 1 << 90]
+    assert counts.tolist() == [2, 6, 4]
+
+
+def test_multiplicity_spectrum():
+    counts = np.array([1, 1, 2, 5, 5, 5, 9], np.int64)
+    spec = multiplicity_spectrum(counts)
+    assert spec[1] == 2 and spec[2] == 1 and spec[5] == 3 and spec[9] == 1
+    assert spec[0] == 0 and spec.sum() == counts.size
+    clamped = multiplicity_spectrum(counts, max_multiplicity=4)
+    assert clamped[4] == 4 and clamped.size == 5
+
+
+def test_empty_tables():
+    e = np.zeros(0, np.uint64)
+    ec = np.zeros(0, np.int64)
+    k, c = merge_counts(e, ec, e, ec)
+    assert k.size == 0 and c.size == 0
+    k, c = intersect_counts(e, ec, e, ec)
+    assert k.size == 0
+    k, c = subtract_counts(e, ec, e, ec)
+    assert k.size == 0
+    assert multiplicity_spectrum(ec).tolist() == [0, 0]
