@@ -59,6 +59,30 @@ def cmd_count(args):
         )
 
 
+def cmd_merge(args):
+    from .pipelines.tables import merge_counts, multiplicity_spectrum
+    from .utils import load_count_table, save_count_table
+
+    kmers, counts, K = load_count_table(args.inputs[0])
+    for d in args.inputs[1:]:
+        k2, c2, K2 = load_count_table(d)
+        if K2 != K:
+            raise SystemExit(f"K mismatch: {d} has K={K2}, expected {K}")
+        kmers, counts = merge_counts(kmers, counts, k2, c2)
+    save_count_table(args.output, kmers, counts, K=K)
+    spec = multiplicity_spectrum(counts, max_multiplicity=8)
+    print(
+        json.dumps(
+            {
+                "distinct": int(kmers.size),
+                "total": int(counts.sum()),
+                "spectrum_1_to_8plus": spec[1:].tolist(),
+                "output": args.output,
+            }
+        )
+    )
+
+
 def cmd_sketch(args):
     from .pipelines.canonical_count import join_records_with_n
     from .pipelines.minhash import minhash_sketch
@@ -134,6 +158,13 @@ def main(argv=None):
         "count conservation; see docs/debugging.md)",
     )
     c.set_defaults(fn=cmd_count)
+
+    m = sub.add_parser(
+        "merge", help="merge count-table checkpoints (counts sum)"
+    )
+    m.add_argument("inputs", nargs="+", help="checkpoint directories")
+    m.add_argument("-o", "--output", required=True)
+    m.set_defaults(fn=cmd_merge)
 
     s = sub.add_parser("sketch", help="MinHash sketch")
     s.add_argument("input")

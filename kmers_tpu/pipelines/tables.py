@@ -46,12 +46,17 @@ def merge_counts(a_kmers, a_counts, b_kmers, b_counts):
     the table the concatenated inputs would have counted to."""
     ak, ac = _check_table(a_kmers, a_counts)
     bk, bc = _check_table(b_kmers, b_counts)
+    if ak.dtype == np.uint64 and bk.dtype == np.uint64:
+        # u64 fast path: the C++ two-pointer merge (numpy fallback inside)
+        from ..io.fasta import merge_count_tables_native
+
+        return merge_count_tables_native(ak, ac, bk, bc)
     keys = np.concatenate([ak, bk])
     cnts = np.concatenate([ac, bc])
     uniq, inv = np.unique(keys, return_inverse=True)
-    return uniq, np.bincount(inv, weights=cnts, minlength=uniq.size).astype(
-        np.int64
-    )
+    summed = np.zeros(uniq.size, np.int64)
+    np.add.at(summed, inv, cnts)
+    return uniq, summed
 
 def intersect_counts(a_kmers, a_counts, b_kmers, b_counts, mode: str = "min"):
     """Keys present in *both* tables.  ``mode="min"`` gives the multiset

@@ -65,3 +65,28 @@ def test_sixframe(fasta, capsys):
     run_cli("sixframe", fasta, "-k", "4")
     stats = json.loads(capsys.readouterr().out.strip())
     assert stats["total"] > 0
+
+
+def test_merge_checkpoints(fasta, tmp_path, capsys):
+    from kmers_tpu.utils import load_count_table
+
+    d1, d2, dm = tmp_path / "t1", tmp_path / "t2", tmp_path / "merged"
+    run_cli("count", fasta, "-k", "15", "-o", d1)
+    run_cli("count", fasta, "-k", "15", "-o", d2)
+    capsys.readouterr()
+    run_cli("merge", d1, d2, "-o", dm)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    k1, c1, K = load_count_table(d1)
+    km, cm, Km = load_count_table(dm)
+    assert K == Km == 15
+    assert np.array_equal(km, k1) and np.array_equal(cm, 2 * c1)
+    assert out["total"] == int(2 * c1.sum())
+
+
+def test_merge_k_mismatch(fasta, tmp_path, capsys):
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    run_cli("count", fasta, "-k", "15", "-o", d1)
+    run_cli("count", fasta, "-k", "17", "-o", d2)
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        run_cli("merge", d1, d2, "-o", tmp_path / "m")
