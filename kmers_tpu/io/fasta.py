@@ -177,9 +177,18 @@ def read_fastx_bytes(data, use_native: bool | None = None):
 
 
 def read_fastx(path, use_native: bool | None = None):
-    """Read and parse a FASTA/FASTQ file (see :func:`read_fastx_bytes`)."""
+    """Read and parse a FASTA/FASTQ file (see :func:`read_fastx_bytes`).
+
+    Gzip-compressed files (the common on-disk form) are detected by the
+    magic bytes and inflated transparently (CPython's gzip is zlib's C
+    inflate, so no extra native path is needed)."""
     with open(path, "rb") as f:
-        return read_fastx_bytes(f.read(), use_native=use_native)
+        data = f.read()
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        data = gzip.decompress(data)
+    return read_fastx_bytes(data, use_native=use_native)
 
 
 def merge_count_tables_native(k1, c1, k2, c2):

@@ -463,13 +463,14 @@ def counts_lookup(kmers: np.ndarray, counts: np.ndarray, queries) -> np.ndarray:
         queries = [queries]
     elif isinstance(queries, np.ndarray) and queries.ndim == 0:
         queries = [queries[()]]
-    q = np.array(
-        [
-            x.canonical().value if isinstance(x, Kmer) else int(x)
-            for x in queries
-        ],
-        dtype=np.uint64,
-    )
+    vals = [
+        x.canonical().value if isinstance(x, Kmer) else int(x)
+        for x in queries
+    ]
+    kmers = np.asarray(kmers)
+    # K > 31 tables are object arrays of Python ints; match their dtype
+    # (uint64 would overflow on >64-bit registers)
+    q = np.array(vals, dtype=object if kmers.dtype == object else np.uint64)
     idx = np.searchsorted(kmers, q)
     idx_c = np.clip(idx, 0, max(kmers.size - 1, 0))
     hit = (kmers.size > 0) & (kmers[idx_c] == q)

@@ -106,3 +106,19 @@ class TestNativeMerge:
             np.array([5], np.uint64), np.array([2], np.int64),
         )
         assert k.tolist() == [5] and c.tolist() == [2]
+
+
+def test_read_fastx_gzip(tmp_path):
+    import gzip
+
+    from kmers_tpu.io import read_fastx
+
+    text = ">r1\nACGTACGT\nACGT\n>r2\nTTTT\n"
+    plain = tmp_path / "a.fa"
+    plain.write_text(text)
+    gz = tmp_path / "a.fa.gz"
+    gz.write_bytes(gzip.compress(text.encode()))
+    s1, o1 = read_fastx(plain)
+    s2, o2 = read_fastx(gz)
+    assert np.array_equal(s1, s2) and np.array_equal(o1, o2)
+    assert bytes(s2).decode() == "ACGTACGTACGTTTTT"

@@ -230,3 +230,17 @@ class TestSyncmerStrandSymmetry:
         kmers, counts = canonical_count(s, K=9)
         q = np.array(kmers[0])  # 0-d ndarray
         assert counts_lookup(kmers, counts, q)[0] == counts[0]
+
+
+def test_counts_lookup_multiword_object_table():
+    import numpy as np
+
+    from kmers_tpu.pipelines import CountConfig, canonical_count_bytes
+    from kmers_tpu.pipelines.canonical_count import counts_lookup
+
+    rng = np.random.default_rng(9)
+    s = bytes(np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 400)])
+    kmers, counts = canonical_count_bytes(s, CountConfig(K=47))
+    assert kmers.dtype == object and kmers.size > 0
+    got = counts_lookup(kmers, counts, [kmers[0], kmers[-1], (1 << 90) + 1])
+    assert got.tolist() == [int(counts[0]), int(counts[-1]), 0]

@@ -81,10 +81,24 @@ def main():
     emit("extract_31mer_2bit", L, _timeit(extract31, data))
 
     # ---- config 2: canonical 31-mer counting (headline) ----
-    from kmers_tpu.pipelines.canonical_count import _chunk_count
+    # same surface as bench.py: the fused u32 Mosaic front-end on TPU at
+    # the default CountConfig.chunk_size (2^24); byte path on CPU
+    if on_tpu:
+        from kmers_tpu.pipelines.canonical_count import (
+            _chunk_count_u32,
+            _pad_to_u32_view,
+        )
 
-    dt = _timeit(partial(_chunk_count, K=31, use_pallas=on_tpu), data)
-    emit("canonical_31mer_count", L, dt, baseline=5.0e7)
+        L2 = 1 << 24
+        v, _ = _pad_to_u32_view(acgt[:L2])
+        arg2 = jax.device_put(v)
+        dt = _timeit(lambda: _chunk_count_u32(arg2, 31), reps=16)
+        emit("canonical_31mer_count", L2, dt, baseline=5.0e7)
+    else:
+        from kmers_tpu.pipelines.canonical_count import _chunk_count
+
+        dt = _timeit(partial(_chunk_count, K=31, use_pallas=False), data)
+        emit("canonical_31mer_count", L, dt, baseline=5.0e7)
 
     # ---- config 3: minimizer windows (+ spaced) ----
     from kmers_tpu.ops.minimizer import minimizers as _minimizers
