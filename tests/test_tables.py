@@ -116,3 +116,53 @@ def test_empty_tables():
     k, c = subtract_counts(e, ec, e, ec)
     assert k.size == 0
     assert multiplicity_spectrum(ec).tolist() == [0, 0]
+
+
+# ---- algebraic properties (hypothesis) ----
+
+from hypothesis import given, settings, strategies as st
+
+
+def _rand_table(draw, max_key=40):
+    items = draw(
+        st.dictionaries(
+            st.integers(0, max_key), st.integers(1, 6), max_size=12
+        )
+    )
+    keys = np.array(sorted(items), dtype=np.uint64)
+    return keys, np.array([items[k] for k in sorted(items)], np.int64)
+
+
+tables = st.composite(_rand_table)()
+
+
+@settings(max_examples=60, deadline=None)
+@given(tables, tables, tables)
+def test_merge_associative_commutative(a, b, c):
+    ab_c = merge_counts(*merge_counts(*a, *b), *c)
+    a_bc = merge_counts(*a, *merge_counts(*b, *c))
+    ba = merge_counts(*b, *a)
+    ab = merge_counts(*a, *b)
+    for x, y in ((ab_c, a_bc), (ab, ba)):
+        assert np.array_equal(x[0], y[0]) and np.array_equal(x[1], y[1])
+
+
+@settings(max_examples=60, deadline=None)
+@given(tables, tables)
+def test_subtract_merge_roundtrip(a, b):
+    # (a + b) - b == a
+    merged = merge_counts(*a, *b)
+    back = subtract_counts(*merged, *b)
+    assert np.array_equal(back[0], a[0]) and np.array_equal(back[1], a[1])
+
+
+@settings(max_examples=60, deadline=None)
+@given(tables, tables)
+def test_intersect_bounded_by_both(a, b):
+    k, c = intersect_counts(*a, *b, mode="min")
+    ca = dict(zip(a[0].tolist(), a[1].tolist()))
+    cb = dict(zip(b[0].tolist(), b[1].tolist()))
+    for key, cnt in zip(k.tolist(), c.tolist()):
+        assert cnt == min(ca[key], cb[key]) and cnt >= 1
+    # intersection keys = key-set intersection
+    assert set(k.tolist()) == set(ca) & set(cb)
