@@ -290,3 +290,29 @@ class TestPickling:
             AminoAcid.W,
         ]:
             assert pickle.loads(pickle.dumps(obj)) == obj
+
+
+def test_profile_step_reports_event_times():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kmers_tpu.pipelines.canonical_count import _chunk_count
+    from kmers_tpu.utils import profile_step
+
+    data = jnp.asarray(
+        np.frombuffer(b"ACGT", np.uint8)[
+            np.random.default_rng(0).integers(0, 4, 1 << 12)
+        ]
+    )
+
+    def step():
+        out = _chunk_count(data, 15, False)
+        int(np.asarray(out[3]))
+
+    top = profile_step(step, reps=1, top=5)
+    assert top, "no trace events captured"
+    assert all(isinstance(n, str) and ms >= 0 for n, ms in top)
+    # ordered by total duration
+    assert [ms for _, ms in top] == sorted(
+        (ms for _, ms in top), reverse=True
+    )
