@@ -202,15 +202,36 @@ def canonical_count_bytes(
     # no window is lost at a boundary (the shard-level carry propagation
     # of SURVEY.md §2.7 item 4, on one device)
     step = max(config.chunk_size - (K - 1), K)
-    # the accumulator is a *compact* table sliced to a power-of-two
-    # capacity tracking the true distinct count: per chunk the table is
-    # front-packed (compact_counts, gather-free log-shift) and merged
-    # with a bitonic merge (merge_compact_tables) instead of a full
-    # re-sort — so streaming memory and merge cost are bounded by the
-    # distinct-kmer count, not by stream length (the old concat+sort
-    # accumulator grew by chunk_size per chunk and could not stream a
-    # genome-scale input through HBM)
-    acc = None  # (uh, ul, cnt) compact device arrays, pow2 capacity
+    # the accumulator is a mergesort-style STACK of compact tables, one
+    # per size level: per chunk the table is front-packed
+    # (compact_counts, gather-free log-shift) and pushed at level 0;
+    # equal-level tables merge pairwise with a bitonic merge
+    # (merge_compact_tables) and carry up.  Equal-size merging matters
+    # because the bitonic network pads both sides to the larger pow2
+    # capacity: folding each small chunk into one growing accumulator
+    # costs O(c^2 u) total network work over c chunks, the level stack
+    # costs O(c u log c).  Any merge order yields the identical final
+    # table (sorted-unique with summed counts), so results stay
+    # bit-exact.  Memory and merge cost remain bounded by the
+    # distinct-kmer count, not stream length.
+    stack: list[tuple[int, tuple]] = []  # (level, (uh, ul, cnt))
+
+    def _push(tbl, merge_fn, slice_fn):
+        level = 0
+        while stack and stack[-1][0] == level:
+            _, other = stack.pop()
+            tbl = slice_fn(merge_fn(other, tbl))
+            level += 1
+        stack.append((level, tbl))
+
+    def _fold(merge_fn, slice_fn):
+        # fold remaining levels smallest-first (top of stack is smallest)
+        tbl = stack.pop()[1]
+        while stack:
+            tbl = slice_fn(merge_fn(stack.pop()[1], tbl))
+        return tbl
+
+    acc = None  # single-dispatch fast path result
     # error counters accumulate ON DEVICE and are fetched once after the
     # loop: a per-chunk int() fetch costs a full host round trip (~26 ms
     # through a remote transport), serializing the stream; semantics are
@@ -227,6 +248,15 @@ def canonical_count_bytes(
     track = dbg or metrics is not None
     dev_valid = jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32)
     dev_counted = jnp.zeros_like(dev_valid)
+
+    def _merge(a, b):
+        return merge_compact_tables(a[0], a[1], a[2], b[0], b[1], b[2])
+
+    def _slice(out):
+        mh, ml, mc, mnu = out
+        cap = _next_pow2(max(int(mnu), 1))
+        return (mh[:cap], ml[:cap], mc[:cap])
+
     starts = list(range(0, max(L - K + 1, 1), step))
     for start in starts:
         chunk = arr[start : start + config.chunk_size]
@@ -265,15 +295,10 @@ def canonical_count_bytes(
             break
         uh, ul, cnt = compact_counts(uh, ul, cnt)
         bcap = _next_pow2(max(int(nu), 1))  # scalar fetch per chunk
-        uh, ul, cnt = uh[:bcap], ul[:bcap], cnt[:bcap]
-        if acc is None:
-            acc = (uh, ul, cnt)
-        else:
-            mh, ml, mc, mnu = merge_compact_tables(
-                acc[0], acc[1], acc[2], uh, ul, cnt
-            )
-            cap = _next_pow2(max(int(mnu), 1))
-            acc = (mh[:cap], ml[:cap], mc[:cap])
+        _push((uh[:bcap], ul[:bcap], cnt[:bcap]), _merge, _slice)
+
+    if acc is None and stack:
+        acc = _fold(_merge, _slice)
 
     total_invalid = int(dev_invalid)
     total_ambig = int(dev_ambig) - total_pad
@@ -341,6 +366,27 @@ def _canonical_count_multiword(data, config: CountConfig):
 
     step = max(config.chunk_size - (K - 1), K)
     starts = list(range(0, max(L - K + 1, 1), step))
+    # mergesort-style level stack (see canonical_count_bytes: equal-size
+    # bitonic merges cost O(c u log c) over c chunks vs O(c^2 u) for a
+    # single growing accumulator; merge order does not affect the table)
+    stack: list[tuple[int, tuple]] = []
+
+    def _merge(a, b):
+        return merge_compact_tables_mw(a[0], a[1], b[0], b[1])
+
+    def _slice(out):
+        mlimbs, mc, mnu = out
+        cap = _next_pow2(max(int(mnu), 1))
+        return (tuple(x[:cap] for x in mlimbs), mc[:cap])
+
+    def _push(tbl):
+        level = 0
+        while stack and stack[-1][0] == level:
+            _, other = stack.pop()
+            tbl = _slice(_merge(other, tbl))
+            level += 1
+        stack.append((level, tbl))
+
     acc = None  # (limbs tuple, cnt) compact device arrays, pow2 capacity
     dev_invalid = jnp.zeros((), jnp.int32)
     dev_ambig = jnp.zeros((), jnp.int32)
@@ -360,16 +406,13 @@ def _canonical_count_multiword(data, config: CountConfig):
             break
         ulimbs, counts = compact_counts_mw(ulimbs, counts)
         bcap = _next_pow2(max(int(nu), 1))
-        ulimbs = tuple(x[:bcap] for x in ulimbs)
-        counts = counts[:bcap]
-        if acc is None:
-            acc = (ulimbs, counts)
-        else:
-            mlimbs, mc, mnu = merge_compact_tables_mw(
-                acc[0], acc[1], ulimbs, counts
-            )
-            cap = _next_pow2(max(int(mnu), 1))
-            acc = (tuple(x[:cap] for x in mlimbs), mc[:cap])
+        _push((tuple(x[:bcap] for x in ulimbs), counts[:bcap]))
+
+    if acc is None and stack:
+        tbl = stack.pop()[1]
+        while stack:
+            tbl = _slice(_merge(stack.pop()[1], tbl))
+        acc = tbl
 
     total_invalid = int(dev_invalid)
     total_ambig = int(dev_ambig) - total_pad

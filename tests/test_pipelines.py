@@ -244,3 +244,40 @@ def test_counts_lookup_multiword_object_table():
     assert kmers.dtype == object and kmers.size > 0
     got = counts_lookup(kmers, counts, [kmers[0], kmers[-1], (1 << 90) + 1])
     assert got.tolist() == [int(counts[0]), int(counts[-1]), 0]
+
+
+def test_streaming_level_stack_many_chunks_parity():
+    """20+ chunks force several merge levels and an uneven final fold;
+    the streamed table must equal the single-dispatch table exactly
+    (duplicates recur across chunk boundaries via a repeated motif)."""
+    import numpy as np
+
+    from kmers_tpu.pipelines import CountConfig, canonical_count_bytes
+
+    rng = np.random.default_rng(21)
+    motif = bytes(np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 64)])
+    rand = bytes(np.frombuffer(b"ACGTN", np.uint8)[rng.integers(0, 5, 9000)])
+    s = motif * 30 + rand + motif * 5  # ~11k bases
+    one = canonical_count_bytes(s, CountConfig(K=17, use_pallas=False))
+    for chunk in (400, 512, 777):  # 15-28 chunks, pow2 and not
+        many = canonical_count_bytes(
+            s, CountConfig(K=17, chunk_size=chunk, use_pallas=False)
+        )
+        assert np.array_equal(one[0], many[0])
+        assert np.array_equal(one[1], many[1])
+
+
+def test_streaming_level_stack_multiword_many_chunks():
+    import numpy as np
+
+    from kmers_tpu.pipelines import CountConfig, canonical_count_bytes
+
+    rng = np.random.default_rng(22)
+    motif = bytes(np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 80)])
+    s = motif * 12 + bytes(
+        np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 4000)]
+    )
+    one = canonical_count_bytes(s, CountConfig(K=41))
+    many = canonical_count_bytes(s, CountConfig(K=41, chunk_size=333))
+    assert np.array_equal(one[0], many[0])
+    assert np.array_equal(one[1], many[1])
