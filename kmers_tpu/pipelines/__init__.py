@@ -18,4 +18,6 @@ from .tables import (
     subtract_counts,
     multiplicity_spectrum,
     merge_counts_device,
+    jaccard_exact,
+    containment,
 )

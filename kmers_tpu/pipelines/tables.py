@@ -29,6 +29,8 @@ __all__ = [
     "subtract_counts",
     "multiplicity_spectrum",
     "merge_counts_device",
+    "jaccard_exact",
+    "containment",
 ]
 
 
@@ -100,6 +102,27 @@ def multiplicity_spectrum(counts, max_multiplicity: int | None = None):
     if max_multiplicity is not None:
         counts = np.minimum(counts, max_multiplicity)
     return np.bincount(counts, minlength=2).astype(np.int64)
+
+
+def jaccard_exact(a_kmers, b_kmers) -> float:
+    """Exact Jaccard index of two tables' distinct-kmer sets,
+    |A ∩ B| / |A ∪ B| (the quantity :func:`kmers_tpu.pipelines.jaccard`
+    estimates from MinHash sketches).  1.0 for two empty tables."""
+    a = np.asarray(a_kmers)
+    b = np.asarray(b_kmers)
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return float(inter / union) if union else 1.0
+
+
+def containment(a_kmers, b_kmers) -> float:
+    """Containment of A in B: |A ∩ B| / |A| (Mash-screen style; 1.0
+    when every distinct kmer of A occurs in B, and for empty A)."""
+    a = np.asarray(a_kmers)
+    b = np.asarray(b_kmers)
+    if a.size == 0:
+        return 1.0
+    return float(np.intersect1d(a, b, assume_unique=True).size / a.size)
 
 
 def merge_counts_device(a_kmers, a_counts, b_kmers, b_counts):

@@ -166,3 +166,22 @@ def test_intersect_bounded_by_both(a, b):
         assert cnt == min(ca[key], cb[key]) and cnt >= 1
     # intersection keys = key-set intersection
     assert set(k.tolist()) == set(ca) & set(cb)
+
+
+def test_jaccard_exact_and_containment():
+    import numpy as np
+
+    from kmers_tpu.pipelines import canonical_count
+    from kmers_tpu.pipelines.tables import containment, jaccard_exact
+
+    rng = np.random.default_rng(13)
+    s = "".join("ACGT"[i] for i in rng.integers(0, 4, 4000))
+    ka, _ = canonical_count(s, K=15)
+    kb, _ = canonical_count(s[:2500], K=15)
+    # B's kmers all come from A's sequence: containment(B in A) == 1
+    assert containment(kb, ka) == 1.0
+    j = jaccard_exact(ka, kb)
+    assert 0.0 < j < 1.0 and abs(j - kb.size / ka.size) < 1e-12
+    assert jaccard_exact(ka, ka) == 1.0
+    e = np.zeros(0, np.uint64)
+    assert jaccard_exact(e, e) == 1.0 and containment(e, ka) == 1.0
