@@ -38,7 +38,10 @@ def cmd_count(args):
     if m is not None:
         print(m.dump(), file=sys.stderr)
     if args.output:
-        save_count_table(args.output, kmers, counts, K=args.k)
+        # record input provenance for deterministic reruns (SURVEY §5)
+        save_count_table(
+            args.output, kmers, counts, K=args.k, inputs=[args.input]
+        )
         print(
             json.dumps(
                 {"distinct": int(kmers.size), "total": int(counts.sum()),

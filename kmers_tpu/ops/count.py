@@ -92,8 +92,15 @@ def _run_length_encode(shi, slo, weights=None):
     return uniq_hi, uniq_lo, counts, n_unique
 
 
-@partial(jax.jit, static_argnames=("use_pallas", "interpret"))
-def sort_count(hi, lo, valid=None, use_pallas: bool = False, interpret: bool = False):
+@partial(jax.jit, static_argnames=("use_pallas", "interpret", "key_bits"))
+def sort_count(
+    hi,
+    lo,
+    valid=None,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    key_bits: int | None = None,
+):
     """Count distinct kmers in a U64 stream.
 
     Returns ``(uniq_hi, uniq_lo, counts, n_unique)``: a sentinel-
@@ -102,7 +109,22 @@ def sort_count(hi, lo, valid=None, use_pallas: bool = False, interpret: bool = F
     sentinel/zero padding (static shapes — callers mask with
     ``counts > 0``).  ``use_pallas`` selects the fused single-pass RLE
     kernel (TPU backends; ``interpret`` for CPU tests).
+
+    ``key_bits`` (static): register width ``K * bits_per_symbol`` of the
+    caller's kmers.  Callers that know it should pass it so the sentinel
+    headroom precondition (module docstring) is *checked*, not assumed:
+    a 63/64-bit register could equal the all-ones sentinel and be
+    silently dropped.  Wider keys belong on the multi-limb path
+    (:func:`kmers_tpu.ops.multiword.sort_count_mw`), which carries an
+    explicit invalid flag limb instead of a sentinel value.
     """
+    if key_bits is not None and key_bits > 62:
+        raise ValueError(
+            f"sort_count holds {key_bits}-bit keys in a 64-bit register "
+            "whose all-ones value is the invalid-window sentinel; keys "
+            "wider than 62 bits could collide with it — use the "
+            "multi-limb path (ops.multiword.sort_count_mw) instead"
+        )
     sent = jnp.asarray(SENTINEL, _U32)
     if valid is not None:
         hi = jnp.where(valid, hi, sent)

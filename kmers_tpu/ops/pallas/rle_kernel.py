@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:  # pallas requires a TPU/Mosaic or interpreter backend
     from jax.experimental import pallas as pl
@@ -47,14 +48,16 @@ def _roll_lanes(x, k: int, interpret: bool):
     """Lane l receives the value of lane l-k (circularly)."""
     if interpret:
         return jnp.roll(x, k, axis=1)
-    return pltpu.roll(x, k, axis=1)
+    # np.int32 shift: a Python-int literal becomes i64 under x64 mode,
+    # which Mosaic cannot lower
+    return pltpu.roll(x, np.int32(k), axis=1)
 
 
 def _roll_rows(x, k: int, interpret: bool):
     """Row r receives the value of row r-k (circularly)."""
     if interpret:
         return jnp.roll(x, k, axis=0)
-    return pltpu.roll(x, k, axis=0)
+    return pltpu.roll(x, np.int32(k), axis=0)  # i32: x64-safe
 
 
 def _kernel(
@@ -96,31 +99,34 @@ def _kernel(
 
     # run-start position: per-row log-step max-scan of (first ? pos : -1),
     # then an 8-row exclusive prefix, then the cross-tile carry
-    x = jnp.where(first, pos, -1)
+    neg1 = np.int32(-1)  # pinned literals: x64-safe
+    x = jnp.where(first, pos, neg1)
     k = 1
     while k < W:
         sh = _roll_lanes(x, k, interpret)
-        x = jnp.maximum(x, jnp.where(lane < k, -1, sh))
+        x = jnp.maximum(x, jnp.where(lane < k, neg1, sh))
         k *= 2
     # x is a running row max, so the row total is the cross-lane max
     incl = jnp.max(x, axis=1, keepdims=True)  # (8, 1) inclusive per row
     k = 1
     while k < 8:
         sh = _roll_rows(incl, k, interpret)
-        incl = jnp.maximum(incl, jnp.where(row[:, :1] < k, -1, sh))
+        incl = jnp.maximum(incl, jnp.where(row[:, :1] < k, neg1, sh))
         k *= 2
     excl = _roll_rows(incl, 1, interpret)
-    excl = jnp.where(row[:, :1] == 0, -1, excl)
-    carry_s = jnp.where(pid == 0, 0, s_scr[0])
+    excl = jnp.where(row[:, :1] == 0, neg1, excl)
+    carry_s = jnp.where(pid == 0, np.int32(0), s_scr[0])
     start = jnp.maximum(jnp.maximum(x, excl), carry_s)
 
     is_sent = (hi == sent) & (lo == sent)
     emit = is_last & (~is_sent)
     uh_ref[:] = jnp.where(emit, hi, sent)
     ul_ref[:] = jnp.where(emit, lo, sent)
-    cnt_ref[:] = jnp.where(emit, pos - start + 1, 0)
+    cnt_ref[:] = jnp.where(emit, pos - start + 1, np.int32(0))
 
-    block_nu = jnp.sum(emit.astype(_I32))
+    # dtype pinned: under jax_enable_x64 an unpinned sum accumulates in
+    # int64, which Mosaic cannot lower
+    block_nu = jnp.sum(emit, dtype=_I32)
 
     @pl.when(pid == 0)
     def _():

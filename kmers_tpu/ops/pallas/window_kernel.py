@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:  # pallas requires a TPU/Mosaic or interpreter backend
     from jax.experimental import pallas as pl
@@ -85,9 +86,11 @@ def _adjacent_vec(wa, c0, c1, W: int, interpret: bool):
         w1 = jnp.roll(wa, -1, axis=1)
         w2 = jnp.roll(wa, -2, axis=1)
     else:
-        # pltpu.roll requires non-negative shifts; left-by-k == right-by-(W-k)
-        w1 = pltpu.roll(wa, W - 1, axis=1)
-        w2 = pltpu.roll(wa, W - 2, axis=1)
+        # pltpu.roll requires non-negative shifts; left-by-k == right-by-(W-k).
+        # np.int32 shift: a Python-int literal becomes i64 under x64 mode,
+        # which Mosaic cannot lower.
+        w1 = pltpu.roll(wa, np.int32(W - 1), axis=1)
+        w2 = pltpu.roll(wa, np.int32(W - 2), axis=1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     w1 = jnp.where(lane == W - 1, c0, w1)
     w2 = jnp.where(lane == W - 2, c0, jnp.where(lane == W - 1, c1, w2))
@@ -318,10 +321,12 @@ def _kernel_bytes_counts(
         lo_ref[0:1, r * W : (r + 1) * W] = jnp.where(bad, sent, cl)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    tile_bad = jnp.sum(n_bad)
-    tile_amb = jnp.sum(n_amb)
+    # dtype pinned: under jax_enable_x64 an unpinned sum accumulates in
+    # int64, which Mosaic cannot lower
+    tile_bad = jnp.sum(n_bad, dtype=jnp.int32)
+    tile_amb = jnp.sum(n_amb, dtype=jnp.int32)
     tile_counts = jnp.where(
-        lane == 0, tile_bad, jnp.where(lane == 1, tile_amb, 0)
+        lane == 0, tile_bad, jnp.where(lane == 1, tile_amb, np.int32(0))
     )
 
     @pl.when(pl.program_id(0) == 0)
@@ -459,7 +464,7 @@ def _kernel_u32(
         if interpret:
             r = jnp.roll(x, -k, axis=1)
         else:
-            r = pltpu.roll(x, V - k, axis=1)
+            r = pltpu.roll(x, np.int32(V - k), axis=1)  # i32: x64-safe
         for i in range(k):
             r = jnp.where(lane == V - k + i, carry_vals[i], r)
         return r
@@ -497,8 +502,8 @@ def _kernel_u32(
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     tile_counts = jnp.where(
         lane128 == 0,
-        jnp.sum(n_bad),
-        jnp.where(lane128 == 1, jnp.sum(n_amb), 0),
+        jnp.sum(n_bad, dtype=jnp.int32),  # dtype pinned for x64 mode
+        jnp.where(lane128 == 1, jnp.sum(n_amb, dtype=jnp.int32), np.int32(0)),
     )
 
     @pl.when(pid == 0)

@@ -101,7 +101,7 @@ def _device_body(
         valid = window_valid_mask(certain, K)
 
     # local aggregation: sentinel-interspersed (kmer, count) table
-    uh, ul, cnt, _ = sort_count(hi, lo, valid)
+    uh, ul, cnt, _ = sort_count(hi, lo, valid, key_bits=2 * K)
     uh, ul, cnt, nu, overflow = exchange_and_merge(uh, ul, cnt, n_dev, cap, axis)
     n_invalid = jax.lax.psum(jnp.sum(invalid), axis)
     total_overflow = jax.lax.psum(overflow, axis)

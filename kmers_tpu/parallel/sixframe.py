@@ -157,7 +157,7 @@ def _sixframe_body(shard_bytes, K: int, n_dev: int, cap: int, axis: str, tbl):
     lo = jnp.concatenate([f[1] for f in frames])
     valid = jnp.concatenate([f[2] for f in frames])
 
-    uh, ul, cnt, _ = sort_count(hi, lo, valid)
+    uh, ul, cnt, _ = sort_count(hi, lo, valid, key_bits=8 * K)
     uh, ul, cnt, nu, overflow = exchange_and_merge(uh, ul, cnt, n_dev, cap, axis)
     total_overflow = jax.lax.psum(overflow, axis)
     n_windows = jax.lax.psum(jnp.sum(valid.astype(_I32)), axis)

@@ -101,7 +101,9 @@ def _chunk_count(bytes_u8, K: int, use_pallas: bool = False):
     hi, lo, valid, n_invalid, n_ambig = _chunk_canonical(
         bytes_u8, K, use_pallas
     )
-    uh, ul, cnt, nu = sort_count(hi, lo, valid, use_pallas=use_pallas)
+    uh, ul, cnt, nu = sort_count(
+        hi, lo, valid, use_pallas=use_pallas, key_bits=2 * K
+    )
     return uh, ul, cnt, nu, n_invalid, n_ambig
 
 
@@ -129,7 +131,7 @@ def _chunk_count_u32(v_u32, K: int, checked: bool = False):
     from ..ops.pallas.window_kernel import canonical_windows_u32_pallas
 
     hi, lo, n_bad, n_amb = canonical_windows_u32_pallas(v_u32, K, V=_V_U32)
-    uh, ul, cnt, nu = sort_count(hi, lo, None, use_pallas=True)
+    uh, ul, cnt, nu = sort_count(hi, lo, None, use_pallas=True, key_bits=2 * K)
     if not checked:
         return uh, ul, cnt, nu, n_bad, n_amb
     sent = jnp.asarray(SENTINEL, jnp.uint32)
@@ -154,7 +156,9 @@ def _chunk_count_checked(bytes_u8, K: int, use_pallas: bool = False):
         n_valid = jnp.sum((hi != sent) | (lo != sent))
     else:
         n_valid = jnp.sum(valid)
-    uh, ul, cnt, nu = sort_count(hi, lo, valid, use_pallas=use_pallas)
+    uh, ul, cnt, nu = sort_count(
+        hi, lo, valid, use_pallas=use_pallas, key_bits=2 * K
+    )
     return uh, ul, cnt, nu, n_invalid, n_ambig, n_valid, jnp.sum(cnt)
 
 
@@ -212,8 +216,10 @@ def canonical_count_bytes(
     # costs O(c^2 u) total network work over c chunks, the level stack
     # costs O(c u log c).  Any merge order yields the identical final
     # table (sorted-unique with summed counts), so results stay
-    # bit-exact.  Memory and merge cost remain bounded by the
-    # distinct-kmer count, not stream length.
+    # bit-exact.  Merge cost tracks the distinct-kmer count u, not the
+    # stream length; peak memory is O(u log c) — up to log2(c) live
+    # tables at once, a factor-log tradeoff accepted for the O(c/log c)
+    # reduction in merge work vs a single growing accumulator.
     stack: list[tuple[int, tuple]] = []  # (level, (uh, ul, cnt))
 
     def _push(tbl, merge_fn, slice_fn):

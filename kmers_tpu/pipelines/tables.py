@@ -97,11 +97,15 @@ def multiplicity_spectrum(counts, max_multiplicity: int | None = None):
     """K-mer multiplicity histogram: ``spectrum[m]`` = number of distinct
     kmers occurring exactly ``m`` times (index 0 is always 0).  The
     standard genome-profiling curve (coverage/error separation).  With
-    ``max_multiplicity`` the tail is clamped into the last bin."""
+    ``max_multiplicity`` the tail is clamped into the last bin and the
+    spectrum always has exactly ``max_multiplicity + 1`` entries (fixed
+    layout even when no count reaches the clamp)."""
     counts = np.asarray(counts, dtype=np.int64)
+    minlength = 2
     if max_multiplicity is not None:
         counts = np.minimum(counts, max_multiplicity)
-    return np.bincount(counts, minlength=2).astype(np.int64)
+        minlength = max_multiplicity + 1
+    return np.bincount(counts, minlength=minlength).astype(np.int64)
 
 
 def jaccard_exact(a_kmers, b_kmers) -> float:
@@ -129,8 +133,21 @@ def merge_counts_device(a_kmers, a_counts, b_kmers, b_counts):
     """:func:`merge_counts` on device: split u64 keys to (hi, lo) u32
     pairs and run the bitonic table merge the streaming accumulator uses
     (kmers_tpu/ops/count.py merge_compact_tables).  Worth it for tables
-    of millions of keys; K <= 31 (u64 registers) only."""
+    of millions of keys; K <= 31 (u64 registers) only.
+
+    The device merge accumulates in int32: every input count — and every
+    merged sum — must stay below 2^31.  Inputs that could overflow fall
+    back to the int64-safe host :func:`merge_counts`."""
     from ..ops.count import merge_compact_tables
+
+    a_counts = np.asarray(a_counts, dtype=np.int64)
+    b_counts = np.asarray(b_counts, dtype=np.int64)
+    # a merged count is at most max(a) + max(b); if that can overflow the
+    # device accumulator's int32, use the host path (exactness first)
+    amax = int(a_counts.max()) if a_counts.size else 0
+    bmax = int(b_counts.max()) if b_counts.size else 0
+    if amax + bmax >= 2**31:
+        return merge_counts(a_kmers, a_counts, b_kmers, b_counts)
 
     def split(k):
         k = np.asarray(k, dtype=np.uint64)

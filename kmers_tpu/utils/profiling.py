@@ -50,7 +50,9 @@ def device_op_times(log_dir: str) -> dict[str, float]:
     )
     if not paths:
         return {}
-    events = json.load(gzip.open(sorted(paths)[-1])).get("traceEvents", [])
+    newest = max(paths, key=os.path.getmtime)
+    with gzip.open(newest) as f:
+        events = json.load(f).get("traceEvents", [])
     out: dict[str, float] = {}
     for e in events:
         if e.get("ph") == "X" and "dur" in e and "name" in e:

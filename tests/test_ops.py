@@ -207,6 +207,18 @@ class TestHash:
 
 
 class TestCount:
+    def test_sort_count_sentinel_headroom_guard(self):
+        # the all-ones count sentinel needs >= 2 bits of headroom; wider
+        # keys must be rejected at the entry point (VERDICT round 2 #8)
+        hi = np.zeros(8, np.uint32)
+        lo = np.zeros(8, np.uint32)
+        out = sort_count(hi, lo, key_bits=62)  # boundary: allowed
+        assert int(out[3]) == 1
+        with pytest.raises(ValueError, match="sentinel"):
+            sort_count(hi, lo, key_bits=63)
+        with pytest.raises(ValueError, match="multi-limb"):
+            sort_count(hi, lo, key_bits=64)
+
     def test_sort_count_parity(self, rng):
         s = rand_dna(rng, 3000, "ACGTN")
         K = 9

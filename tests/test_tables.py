@@ -104,6 +104,21 @@ def test_multiplicity_spectrum():
     assert spec[0] == 0 and spec.sum() == counts.size
     clamped = multiplicity_spectrum(counts, max_multiplicity=4)
     assert clamped[4] == 4 and clamped.size == 5
+    # fixed layout: max_multiplicity+1 bins even when nothing reaches it
+    low = multiplicity_spectrum(np.array([1, 2], np.int64), max_multiplicity=8)
+    assert low.size == 9 and low[1] == 1 and low[2] == 1 and low[8] == 0
+
+
+def test_merge_counts_device_int32_overflow_falls_back():
+    from kmers_tpu.pipelines.tables import merge_counts_device
+
+    # counts near 2^31: the device int32 merge would wrap; the guard must
+    # route to the int64-safe host merge instead
+    k = np.array([5, 9], np.uint64)
+    big = np.array([2**30 + 7, 3], np.int64)
+    mk, mc = merge_counts_device(k, big, k, big)
+    assert mk.tolist() == [5, 9]
+    assert mc.tolist() == [2**31 + 14, 6]
 
 
 def test_empty_tables():
