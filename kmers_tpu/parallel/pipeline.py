@@ -3,16 +3,22 @@
 The multi-device flagship pipeline (SURVEY.md §7 M6, BASELINE.json config 5):
 
 1. **Halo sharding**: the input byte stream is split into ``n_dev`` equal
-   shards, each extended by K-1 bases of right-halo so no window is lost
-   or duplicated at shard boundaries — the reference's cross-word carry
+   slabs, each extended by K-1 bases of right-halo so no window is lost
+   or duplicated at slab boundaries — the reference's cross-word carry
    (/root/reference/src/tuple_bitflipping.jl:24-46) lifted to the
    device-shard granularity.
-2. **Local extraction**: each device classifies, packs, and extracts its
-   canonical windows (identical kernels to the single-chip path).
-3. **Hash-prefix exchange**: each window is routed to the device owning
-   its FxHash prefix via ``all_to_all`` (ICI), so every distinct kmer
-   lands on exactly one device.
-4. **Local count**: per-device sort-count yields a hash-partitioned,
+2. **Local streaming count**: each device streams its slab in chunks
+   through the same fused front-end + sort + RLE kernels as the
+   single-chip flagship (``use_pallas``: the Mosaic u32 kernel), folding
+   chunk tables with the mergesort-style level-stack accumulator of
+   ``pipelines.canonical_count`` — per-device compact tables whose
+   capacity tracks the distinct count, so gigabase slabs never need a
+   whole-slab dispatch.
+3. **Hash-prefix exchange** (once, on the final local tables): each
+   table row is routed to the device owning its FxHash prefix via
+   ``all_to_all`` (ICI), so every distinct kmer lands on exactly one
+   device.
+4. **Local merge**: per-device weighted RLE yields a hash-partitioned,
    globally deduplicated count table.
 
 Deterministic by construction: the exchange is keyed by hash prefix and
@@ -23,6 +29,7 @@ device counts (after host-side concatenation + merge of the partitions).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 
 import jax
@@ -30,13 +37,23 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.count import SENTINEL, sort_count
+from ..ops.count import (
+    SENTINEL,
+    _next_pow2,
+    compact_counts,
+    merge_compact_tables,
+    sort_count,
+)
 from ..ops.encode import classify_2bit
 from ..ops.hashing import fx_hash_u64
 from ..ops.windows import canonical_windows_from_codes, window_valid_mask
 from .mesh import data_mesh
 
-__all__ = ["ShardedCountConfig", "sharded_count_step", "sharded_canonical_count"]
+__all__ = [
+    "ShardedCountConfig",
+    "sharded_count_step",
+    "sharded_canonical_count",
+]
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -49,6 +66,9 @@ class ShardedCountConfig:
     #: FxHash spreads kmers near-uniformly, so a small factor suffices.
     #: Overflow is detected and reported, never silently dropped.
     bucket_factor: float = 2.0
+    #: bases per device per jitted dispatch; slabs longer than this are
+    #: streamed through the level-stack accumulator.
+    chunk_size: int = 1 << 24
     #: use the fused Mosaic window kernel per device; None = auto (TPU only).
     use_pallas: bool | None = None
     #: run the kernel in interpreter mode (CPU testing of the kernel path).
@@ -57,62 +77,74 @@ class ShardedCountConfig:
     def __post_init__(self):
         if not 1 <= self.K <= 31:
             raise ValueError("sharded counting supports 1 <= K <= 31")
+        if self.chunk_size < self.K:
+            raise ValueError("chunk_size must be >= K")
 
 
-def _device_body(
-    shard_bytes,
+# ---------------------------------------------------------------------------
+# SPMD bodies
+
+
+def _local_count_body(
+    shard_view,
     K: int,
-    n_dev: int,
-    cap: int,
     axis: str,
-    use_pallas: bool = False,
-    interpret: bool = False,
+    use_pallas: bool,
+    interpret: bool,
+    V: int,
 ):
-    """Per-device SPMD body (runs under shard_map).
+    """Per-device local chunk count (runs under shard_map).
 
-    ``shard_bytes``: (1, shard_len + K - 1) uint8 — this device's bases
-    plus right halo (zero-padded at the global end; padding bytes are
-    invalid so the windows they touch are masked).
-
-    Local-aggregate-then-shuffle (the KMC/Gerbil structure, made SPMD):
-    each device first collapses its windows to a local (kmer, count)
-    table, then routes table rows by FxHash prefix with ``all_to_all``.
-    Deduplicating before the exchange makes bucket load proportional to
-    *distinct* kmers — immune to low-complexity skew (poly-A runs,
-    repeats) that would overflow any fixed raw-window bucketing — and
-    shrinks the wire volume to the distinct set.
+    ``shard_view``: with ``use_pallas`` a (1, n4) uint32 little-endian
+    view of this device's 'N'-padded chunk bytes (same host-side
+    zero-copy prep as the single-chip flagship); otherwise (1, n_bytes)
+    uint8.  Returns this device's sentinel-interspersed local count
+    table, its distinct count, and its invalid-byte count (halo bytes
+    included — callers only test > 0, so double-counting an invalid halo
+    byte is harmless; padding is 'N', the ambiguity class, never
+    invalid).
     """
-    data = shard_bytes[0]
-    codes, certain, _ambig = classify_2bit(data)
-    # count invalid bytes over the shard body only (halo bytes are the next
-    # shard's body, so body instances cover every global byte exactly once)
-    body_len = data.shape[0] - (K - 1)
-    invalid = (~(certain | _ambig))[:body_len]
+    data = shard_view[0]
     if use_pallas:
-        from ..ops.pallas.window_kernel import canonical_windows_bytes_pallas
+        from ..ops.pallas.window_kernel import canonical_windows_u32_pallas
 
-        # fused classify+pack+windows; invalid windows pre-sentineled
-        hi_om, lo_om = canonical_windows_bytes_pallas(
-            data, K, interpret=interpret
+        hi, lo, n_bad, _n_amb = canonical_windows_u32_pallas(
+            data, K, V=V, interpret=interpret
         )
-        hi, lo, valid = hi_om.reshape(-1), lo_om.reshape(-1), None
+        uh, ul, cnt, nu = sort_count(
+            hi, lo, None, use_pallas=True, interpret=interpret,
+            key_bits=2 * K,
+        )
     else:
+        codes, certain, ambig = classify_2bit(data)
+        n_bad = jnp.sum(~(certain | ambig), dtype=_I32)
         hi, lo = canonical_windows_from_codes(codes, K)
         valid = window_valid_mask(certain, K)
+        uh, ul, cnt, nu = sort_count(hi, lo, valid, key_bits=2 * K)
+    return uh[None], ul[None], cnt[None], nu[None], n_bad[None]
 
-    # local aggregation: sentinel-interspersed (kmer, count) table
-    uh, ul, cnt, _ = sort_count(hi, lo, valid, key_bits=2 * K)
-    uh, ul, cnt, nu, overflow = exchange_and_merge(uh, ul, cnt, n_dev, cap, axis)
-    n_invalid = jax.lax.psum(jnp.sum(invalid), axis)
-    total_overflow = jax.lax.psum(overflow, axis)
-    return (
-        uh[None],
-        ul[None],
-        cnt[None],
-        nu[None],
-        n_invalid[None],
-        total_overflow[None],
+
+def _compact_body(uh, ul, cnt):
+    """Front-pack each device's rows (gather-free log-shift compaction)."""
+    uh2, ul2, cnt2 = compact_counts(uh[0], ul[0], cnt[0])
+    return uh2[None], ul2[None], cnt2[None]
+
+
+def _merge_body(ah, al, ac, bh, bl, bc):
+    """Per-device bitonic merge of two compact tables (level-stack step)."""
+    uh, ul, cnt, nu = merge_compact_tables(
+        ah[0], al[0], ac[0], bh[0], bl[0], bc[0]
     )
+    return uh[None], ul[None], cnt[None], nu[None]
+
+
+def _exchange_body(uh, ul, cnt, K: int, n_dev: int, cap: int, axis: str):
+    """Hash-prefix exchange + per-device merge of the received partitions."""
+    uh, ul, cnt, nu, overflow = exchange_and_merge(
+        uh[0], ul[0], cnt[0], n_dev, cap, axis
+    )
+    total_overflow = jax.lax.psum(overflow, axis)
+    return uh[None], ul[None], cnt[None], nu[None], total_overflow[None]
 
 
 def exchange_and_merge(uh, ul, cnt, n_dev: int, cap: int, axis: str):
@@ -120,9 +152,16 @@ def exchange_and_merge(uh, ul, cnt, n_dev: int, cap: int, axis: str):
     and merge the received partitions.  Returns (uh, ul, cnt, n_unique,
     overflow) — overflow counts real rows dropped for exceeding ``cap``
     (callers must psum and fail loudly on > 0).
+
+    With one device the exchange is the identity and the local table is
+    already the global table: returned unchanged (no sort, no gather) so
+    the sharded-on-one-chip path matches the single-chip flagship.
     """
     sent = jnp.asarray(SENTINEL, _U32)
     is_sent = (uh == sent) & (ul == sent)
+    if n_dev == 1:
+        nu = jnp.sum(cnt > 0, dtype=_I32)
+        return uh, ul, cnt.astype(_I32), nu, jnp.zeros((), _I32)
 
     # route rows to the device owning the kmer's hash prefix; sentinel
     # padding rows spread round-robin (they are droppable filler)
@@ -133,13 +172,15 @@ def exchange_and_merge(uh, ul, cnt, n_dev: int, cap: int, axis: str):
     rr = jnp.arange(n_rows, dtype=_U32) % n_dev
     dest = jnp.where(is_sent, rr, dest)
 
-    # stable sort by (destination, is_sentinel): within each destination
-    # segment real rows come first, so a bucket that truncates at `cap`
-    # only ever drops sentinel filler — capacity is governed by *distinct*
-    # kmers per destination, not by the padded table size
+    # sort by (destination, is_sentinel): within each destination segment
+    # real rows come first, so a bucket that truncates at `cap` only ever
+    # drops sentinel filler — capacity is governed by *distinct* kmers
+    # per destination, not by the padded table size.  Unstable: within an
+    # equal key the row order is irrelevant (the receiver re-sorts), and
+    # an unstable sort is measurably cheaper than a stable one.
     key = dest * 2 + is_sent.astype(_U32)
     _, suh, sul, scnt = jax.lax.sort(
-        (key, uh, ul, cnt), num_keys=1, is_stable=True
+        (key, uh, ul, cnt), num_keys=1, is_stable=False
     )
     seg_counts = jnp.bincount((dest).astype(_I32), length=n_dev)
     seg_real = jnp.bincount(
@@ -177,7 +218,78 @@ def exchange_and_merge(uh, ul, cnt, n_dev: int, cap: int, axis: str):
     return uh, ul, cnt, nu, overflow
 
 
-import functools
+# ---------------------------------------------------------------------------
+# Jitted steps (cached per geometry: rebuilding the shard_map'd closure
+# per call would defeat jit's compile cache — measured a 60 s recompile
+# per call through the remote transport)
+
+
+@functools.lru_cache(maxsize=64)
+def _local_count_step(
+    mesh: Mesh, K: int, use_pallas: bool, interpret: bool, V: int
+):
+    axis = mesh.axis_names[0]
+    body = partial(
+        _local_count_body,
+        K=K,
+        axis=axis,
+        use_pallas=use_pallas,
+        interpret=interpret,
+        V=V,
+    )
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(
+            P(axis, None), P(axis, None), P(axis, None), P(axis), P(axis),
+        ),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation
+        check_vma=not use_pallas,
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _compact_step(mesh: Mesh):
+    axis = mesh.axis_names[0]
+    spec = P(axis, None)
+    mapped = jax.shard_map(
+        _compact_body,
+        mesh=mesh,
+        in_specs=(spec,) * 3,
+        out_specs=(spec,) * 3,
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _merge_step(mesh: Mesh):
+    axis = mesh.axis_names[0]
+    spec = P(axis, None)
+    mapped = jax.shard_map(
+        _merge_body,
+        mesh=mesh,
+        in_specs=(spec,) * 6,
+        out_specs=(spec, spec, spec, P(axis)),
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _exchange_step(mesh: Mesh, K: int, cap: int):
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    body = partial(_exchange_body, K=K, n_dev=n_dev, cap=cap, axis=axis)
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=(
+            P(axis, None), P(axis, None), P(axis, None), P(axis), P(axis),
+        ),
+    )
+    return jax.jit(mapped)
 
 
 @functools.lru_cache(maxsize=64)
@@ -188,51 +300,87 @@ def sharded_count_step(
     cap: int,
     use_pallas: bool = False,
     interpret: bool = False,
+    V: int = 4096,
 ):
-    """Build the jitted SPMD counting step for a fixed geometry.
-
-    Returns a function of a (n_dev, shard_len + K - 1) uint8 array sharded
-    over the mesh's data axis.  Cached per geometry: rebuilding the
-    shard_map'd closure on every call would defeat jit's compile cache
-    (measured: a 60 s recompile per call through the remote transport).
+    """Single-dispatch SPMD counting step for a fixed geometry: local
+    count + hash-prefix exchange fused in one jit region.  Used for
+    inputs that fit one chunk per device (and by the scaling bench /
+    multichip dryrun); the streaming driver composes the split steps
+    instead.  Takes the (n_dev, row) device array — uint32 view rows
+    when ``use_pallas`` else uint8 byte rows — and returns
+    ``(uh, ul, cnt, nu, n_bad, overflow)``.
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    body = partial(
-        _device_body,
-        K=K,
-        n_dev=n_dev,
-        cap=cap,
-        axis=axis,
-        use_pallas=use_pallas,
-        interpret=interpret,
-    )
+
+    def body(shard_view):
+        uh, ul, cnt, nu, n_bad = _local_count_body(
+            shard_view, K, axis, use_pallas, interpret, V
+        )
+        uh, ul, cnt, nu, overflow = _exchange_body(
+            uh, ul, cnt, K, n_dev, cap, axis
+        )
+        total_bad = jax.lax.psum(jnp.sum(n_bad), axis)
+        return uh, ul, cnt, nu, total_bad[None], overflow
+
     mapped = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=P(axis, None),
-        out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis), P(axis), P(axis)),
-        # pallas_call's out_shape carries no varying-mesh-axes annotation
+        out_specs=(
+            P(axis, None), P(axis, None), P(axis, None),
+            P(axis), P(axis), P(axis),
+        ),
         check_vma=not use_pallas,
     )
     return jax.jit(mapped)
 
 
-def _shard_with_halo(arr: np.ndarray, n_dev: int, K: int):
+# ---------------------------------------------------------------------------
+# Host driver
+
+
+def _shard_with_halo(arr: np.ndarray, n_dev: int, K: int, pad_byte: int = 0):
     """Split bases into n_dev equal shards with K-1 right halos.
 
-    Pads the tail with 0x00 (an invalid byte -> masked windows), so every
+    Pads the tail with ``pad_byte`` (default 0x00, an invalid byte ->
+    masked windows; the canonical pipeline passes ``ord('N')``, the
+    ambiguity skip class, so padding never counts as invalid), so every
     window of the original stream appears in exactly one shard.
     """
     L = arr.shape[0]
     shard = -(-L // n_dev)
     halo = K - 1
-    padded = np.zeros(n_dev * shard + halo, dtype=np.uint8)
+    padded = np.full(n_dev * shard + halo, pad_byte, dtype=np.uint8)
     padded[:L] = arr
     out = np.empty((n_dev, shard + halo), dtype=np.uint8)
     for d in range(n_dev):
         out[d] = padded[d * shard : d * shard + shard + halo]
     return out, shard
+
+
+def _pick_v(n_bytes: int) -> int:
+    """Lane-tile width for the u32 kernel: 4096 for real workloads, the
+    smallest 128-multiple covering tiny (test) inputs otherwise."""
+    n4 = -(-n_bytes // 4)
+    for v in (128, 256, 512, 1024, 2048):
+        if n4 <= v:
+            return v
+    return 4096
+
+
+def _rows_to_u32_view(rows: np.ndarray, V: int):
+    """Pad byte rows with 'N' to a multiple of 4*V and view as '<u4'."""
+    n_dev, m = rows.shape
+    unit = 4 * V
+    pad = (-m) % unit
+    if pad:
+        rows = np.concatenate(
+            [rows, np.full((n_dev, pad), ord("N"), np.uint8)], axis=1
+        )
+    if not rows.flags["C_CONTIGUOUS"]:
+        rows = np.ascontiguousarray(rows)
+    return rows.view("<u4")
 
 
 def sharded_canonical_count(
@@ -246,6 +394,9 @@ def sharded_canonical_count(
     Returns ``(kmers, counts)`` as sorted host numpy arrays (exact global
     multiset — parity with the single-chip pipeline and the scalar oracle).
     Raises on invalid bytes and on bucket overflow (raise ``bucket_factor``).
+    Slabs longer than ``config.chunk_size`` bases per device are streamed
+    chunk by chunk with the level-stack accumulator — the whole input is
+    never materialized on device at once.
     ``metrics``: optional :class:`kmers_tpu.utils.Metrics` recording one
     BatchStats per call.
     """
@@ -262,26 +413,37 @@ def sharded_canonical_count(
     if L < K:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
 
-    shards, shard = _shard_with_halo(arr, n_dev, K)
-    n_win = shard + K - 1 - K + 1  # windows per shard == shard
-    cap = int(np.ceil(n_win * config.bucket_factor / n_dev))
     use_pallas = (
         jax.default_backend() not in ("cpu",)
         if config.use_pallas is None
         else config.use_pallas
     )
-    step = sharded_count_step(
-        mesh, K, shard, cap, use_pallas, config.pallas_interpret
-    )
     axis = mesh.axis_names[0]
     sharding = NamedSharding(mesh, P(axis, None))
-    shards_dev = jax.device_put(shards, sharding)
-    uh, ul, cnt, nu, n_invalid, overflow = step(shards_dev)
 
-    # padding bytes are 0x00 == invalid; discount them before erroring
-    # (bodies cover [0, n_dev*shard) exactly once; pads there = n_dev*shard - L)
-    pad = n_dev * shard - L
-    if int(np.asarray(n_invalid)[0]) - pad > 0:
+    # 'N' padding classifies as the ambiguity skip class: padded windows
+    # sentinel out, and any invalid count > 0 is a real input error
+    shards, shard = _shard_with_halo(arr, n_dev, K, pad_byte=ord("N"))
+
+    n_chunks = max(-(-shard // config.chunk_size), 1)
+    if n_chunks == 1:
+        # single dispatch per device: fused local-count + exchange
+        n_win = shard  # windows per shard
+        cap = int(np.ceil(n_win * config.bucket_factor / n_dev))
+        V = _pick_v(shards.shape[1]) if use_pallas else 4096
+        step = sharded_count_step(
+            mesh, K, shard, cap, use_pallas, config.pallas_interpret, V
+        )
+        view = _rows_to_u32_view(shards, V) if use_pallas else shards
+        uh, ul, cnt, nu, n_bad, overflow = step(
+            jax.device_put(view, sharding)
+        )
+    else:
+        uh, ul, cnt, nu, n_bad, overflow = _streamed_sharded_count(
+            shards, shard, mesh, config, use_pallas, sharding
+        )
+
+    if int(np.asarray(n_bad)[0]) > 0:
         from ..alphabets import EncodeError, DNAAlphabet2
 
         raise EncodeError(DNAAlphabet2(), "<batch input>")
@@ -308,3 +470,90 @@ def sharded_canonical_count(
             distinct_kmers=int(kmers.shape[0]),
         )
     return kmers, cnt
+
+
+def _streamed_sharded_count(
+    shards: np.ndarray,
+    shard: int,
+    mesh: Mesh,
+    config: ShardedCountConfig,
+    use_pallas: bool,
+    sharding,
+):
+    """Stream each device's slab chunk-by-chunk, fold per-device tables
+    with the level-stack accumulator (the SPMD twin of the single-chip
+    streaming path of ``pipelines.canonical_count``), then exchange the
+    final compact tables once — one all_to_all per input regardless of
+    chunk count.
+    """
+    n_dev = mesh.devices.size
+    K = config.K
+    chunk = config.chunk_size
+    # each chunk row carries chunk + K-1 bytes and therefore exactly
+    # `chunk` window starts; consecutive rows overlap by K-1 bytes so no
+    # window is lost or duplicated at a chunk boundary (the same carry
+    # idea as the single-chip streaming path, at the chunk granularity)
+    step_len = chunk
+    row_len = chunk + K - 1  # uniform chunk rows ('N'-padded at the tail)
+    V = _pick_v(row_len) if use_pallas else 4096
+
+    count = _local_count_step(
+        mesh, K, use_pallas, config.pallas_interpret, V
+    )
+    compact = _compact_step(mesh)
+    merge = _merge_step(mesh)
+
+    # level stack of (level, (uh, ul, cnt)) — sharded (n_dev, cap) tables;
+    # see pipelines/canonical_count.py for the cost analysis (O(c u log c)
+    # merge work, O(u log c) peak memory over c chunks, u distinct kmers)
+    stack: list[tuple[int, tuple]] = []
+
+    def _slice_nu(tbl, nu):
+        # uniform capacity across devices: the max distinct count (shapes
+        # must agree on every device; one scalar fetch per chunk)
+        cap = _next_pow2(max(int(np.asarray(nu).max()), 1))
+        return tuple(x[:, :cap] for x in tbl)
+
+    def _push(tbl):
+        level = 0
+        while stack and stack[-1][0] == level:
+            _, other = stack.pop()
+            mh, ml, mc, mnu = merge(*other, *tbl)
+            tbl = _slice_nu((mh, ml, mc), mnu)
+            level += 1
+        stack.append((level, tbl))
+
+    dev_bad = None
+    n_steps = max(-(-shard // step_len), 1)
+    for c in range(n_steps):
+        lo_i = c * step_len
+        rows = shards[:, lo_i : lo_i + row_len]
+        if rows.shape[1] < row_len:
+            rows = np.concatenate(
+                [
+                    rows,
+                    np.full(
+                        (n_dev, row_len - rows.shape[1]), ord("N"), np.uint8
+                    ),
+                ],
+                axis=1,
+            )
+        view = _rows_to_u32_view(np.ascontiguousarray(rows), V) if use_pallas else rows
+        uh, ul, cnt, nu, n_bad = count(jax.device_put(view, sharding))
+        dev_bad = n_bad if dev_bad is None else dev_bad + n_bad
+        uh, ul, cnt = compact(uh, ul, cnt)
+        _push(_slice_nu((uh, ul, cnt), nu))
+
+    tbl = stack.pop()[1]
+    while stack:
+        mh, ml, mc, mnu = merge(*stack.pop()[1], *tbl)
+        tbl = _slice_nu((mh, ml, mc), mnu)
+
+    # one exchange on the final compact tables: per-destination capacity
+    # tracks the per-device distinct count
+    C = tbl[0].shape[1]
+    cap = max(int(np.ceil(C * config.bucket_factor / n_dev)), 1)
+    exchange = _exchange_step(mesh, K, cap)
+    uh, ul, cnt, nu, overflow = exchange(*tbl)
+    total_bad = int(np.asarray(dev_bad).sum())
+    return uh, ul, cnt, nu, np.array([total_bad]), overflow

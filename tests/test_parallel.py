@@ -63,6 +63,41 @@ class TestShardedCount:
         k, c = sharded_canonical_count("ACG", ShardedCountConfig(K=31), mesh)
         assert k.size == 0
 
+    @pytest.mark.parametrize("n_dev", [1, 3, 8])
+    def test_streamed_parity(self, sample, n_dev):
+        # slabs span >= 3 chunks per device: the streamed level-stack
+        # path (chunked local counts + single final exchange) must be
+        # bit-identical to the single-dispatch path (VERDICT round 2 #4)
+        mesh = data_mesh(n_dev)
+        shard = -(-len(sample) // n_dev)
+        chunk = max(shard // 4, 31)  # >= 4 chunks per device
+        cfg = ShardedCountConfig(K=31, chunk_size=chunk)
+        assert -(-shard // chunk) >= 3
+        k, c = sharded_canonical_count(sample, cfg, mesh)
+        k1, c1 = canonical_count(sample, K=31)
+        assert np.array_equal(k, k1) and np.array_equal(c, c1)
+
+    def test_streamed_boundary_windows(self):
+        # chunk boundaries must neither lose nor duplicate windows
+        s = "ACGTACGTA" * 2000
+        mesh = data_mesh(4)
+        K = 9
+        cfg = ShardedCountConfig(K=K, chunk_size=997)  # odd, many chunks
+        k, c = sharded_canonical_count(s, cfg, mesh)
+        k1, c1 = canonical_count(s, K=K)
+        assert np.array_equal(k, k1) and np.array_equal(c, c1)
+        assert c.sum() == len(s) - K + 1
+
+    def test_streamed_kernel_path_parity(self, sample):
+        # streamed + fused Mosaic kernels (interpreter mode on CPU)
+        mesh = data_mesh(3)
+        cfg = ShardedCountConfig(
+            K=31, chunk_size=600, use_pallas=True, pallas_interpret=True
+        )
+        k, c = sharded_canonical_count(sample[:6000], cfg, mesh)
+        k1, c1 = canonical_count(sample[:6000], K=31)
+        assert np.array_equal(k, k1) and np.array_equal(c, c1)
+
     def test_invalid_raises(self):
         from kmers_tpu import EncodeError
 
