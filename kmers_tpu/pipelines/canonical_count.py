@@ -361,6 +361,13 @@ def _canonical_count_multiword(data, config: CountConfig):
     if L < K:
         return np.zeros(0, object), np.zeros(0, np.int64)
 
+    use_pallas = (
+        _on_tpu() if config.use_pallas is None else config.use_pallas
+    )
+    # the fused Mosaic front-end covers 32 <= K <= 63 (M <= 4 limbs);
+    # wider kmers take the jnp path
+    use_pallas = use_pallas and K <= 63
+
     @partial(jax.jit, static_argnames=("K",))
     def chunk_fn(bytes_u8, K):
         codes, certain, ambig = classify_2bit(bytes_u8)
@@ -369,6 +376,24 @@ def _canonical_count_multiword(data, config: CountConfig):
         valid = window_valid_mask(certain, K)
         ulimbs, counts, nu = sort_count_mw(limbs, valid)
         return ulimbs, counts, nu, jnp.sum(invalid), jnp.sum(ambig)
+
+    @partial(jax.jit, static_argnames=("K", "interpret"))
+    def chunk_fn_u32(v_u32, K, interpret=False):
+        """TPU hot path: fused multi-limb Mosaic front-end.  Sentinel
+        (all-ones) rows mark invalid windows — safe because a canonical
+        register is never all-ones (rc of all-ones is 0)."""
+        from ..ops.pallas.multiword_kernel import canonical_windows_mw_pallas
+
+        limbs, n_bad, n_amb = canonical_windows_mw_pallas(
+            v_u32, K, V=_V_U32, interpret=interpret
+        )
+        ones = jnp.asarray(0xFFFFFFFF, jnp.uint32)
+        is_sent = None
+        for x in limbs:
+            s = x == ones
+            is_sent = s if is_sent is None else is_sent & s
+        ulimbs, counts, nu = sort_count_mw(limbs, ~is_sent)
+        return ulimbs, counts, nu, n_bad, n_amb
 
     step = max(config.chunk_size - (K - 1), K)
     starts = list(range(0, max(L - K + 1, 1), step))
@@ -403,7 +428,14 @@ def _canonical_count_multiword(data, config: CountConfig):
         if len(starts) > 1 and chunk.shape[0] < config.chunk_size:
             pad = config.chunk_size - chunk.shape[0]
             chunk = np.concatenate([chunk, np.full(pad, ord("N"), np.uint8)])
-        ulimbs, counts, nu, n_inv, n_amb = chunk_fn(jnp.asarray(chunk), K)
+        if use_pallas:
+            v, host_pad = _pad_to_u32_view(chunk)
+            total_pad += host_pad
+            ulimbs, counts, nu, n_inv, n_amb = chunk_fn_u32(
+                jnp.asarray(v), K, not _on_tpu()
+            )
+        else:
+            ulimbs, counts, nu, n_inv, n_amb = chunk_fn(jnp.asarray(chunk), K)
         dev_invalid = dev_invalid + n_inv.astype(jnp.int32)
         dev_ambig = dev_ambig + n_amb.astype(jnp.int32)
         total_pad += pad

@@ -126,6 +126,30 @@ class TestMultiwordPipeline:
         )
         assert dict(zip([int(k) for k in kmers], counts.tolist())) == dict(oracle)
 
+    @pytest.mark.parametrize("K", [32, 33, 47, 63])
+    def test_fused_kernel_pipeline_parity(self, rng, K):
+        # the fused multi-limb Mosaic front-end (interpreter mode on CPU)
+        # must be bit-identical to the jnp path and the scalar oracle
+        from kmers_tpu.pipelines import CountConfig, canonical_count_bytes
+
+        s = rand_dna(rng, 2000, "ACGTN")
+        a = canonical_count_bytes(s, CountConfig(K=K, use_pallas=True))
+        b = canonical_count_bytes(s, CountConfig(K=K, use_pallas=False))
+        assert [int(x) for x in a[0]] == [int(x) for x in b[0]]
+        assert np.array_equal(a[1], b[1])
+        oracle = collections.Counter(
+            k.canonical().value for k, _ in UnambiguousDNAMers(K, s)
+        )
+        assert dict(zip([int(k) for k in a[0]], a[1].tolist())) == dict(oracle)
+
+    def test_fused_kernel_invalid_byte_error(self, rng):
+        from kmers_tpu import EncodeError
+        from kmers_tpu.pipelines import CountConfig, canonical_count_bytes
+
+        s = rand_dna(rng, 500) + "!" + rand_dna(rng, 100)
+        with pytest.raises(EncodeError):
+            canonical_count_bytes(s, CountConfig(K=33, use_pallas=True))
+
     def test_chunked(self, rng):
         from kmers_tpu.pipelines import CountConfig, canonical_count_bytes
 
