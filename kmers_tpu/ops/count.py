@@ -191,8 +191,10 @@ def _next_pow2(n: int) -> int:
     return 1 << max(int(n - 1).bit_length(), 0)
 
 
-@jax.jit
-def merge_compact_tables(hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b):
+@partial(jax.jit, static_argnames=("use_pallas",))
+def merge_compact_tables(
+    hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b, use_pallas: bool | None = None
+):
     """Merge two *sorted* count tables with a bitonic merge network.
 
     Unlike :func:`merge_sorted_counts` (concat + full re-sort,
@@ -202,6 +204,11 @@ def merge_compact_tables(hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b):
     reshapes + min/max selects (no sort HLO).  Output size is
     ``2 * next_pow2(max(len(a), len(b)))``; equal keys are summed by the
     weighted RLE and the table is front-packed by :func:`compact_counts`.
+
+    ``use_pallas`` (None = auto on TPU backends): fuse every
+    compare-exchange step whose stride fits one (8, 4096) tile into a
+    single Mosaic pass (ops/pallas/merge_kernel.py) — 15 of the log2(N)
+    HBM round trips collapse into one on large tables.
 
     Returns ``(uniq_hi, uniq_lo, counts, n_unique)``, compact and sorted.
     This is the streaming-accumulator merge: with capacity-sliced inputs
@@ -223,9 +230,18 @@ def merge_compact_tables(hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b):
     xh = jnp.concatenate([ah, bh[::-1]])
     xl = jnp.concatenate([al, bl[::-1]])
     xc = jnp.concatenate([ac, bc[::-1]])
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    W = 4096
+    fuse = use_pallas and (2 * half) % (8 * W) == 0
     m = half.bit_length()  # log2(2 * half)
     for k in range(m, 0, -1):
         d = 1 << (k - 1)
+        if fuse and d <= 4 * W:
+            from .pallas.merge_kernel import bitonic_merge_tail_pallas
+
+            xh, xl, xc = bitonic_merge_tail_pallas(xh, xl, xc, W=W)
+            break
         h2 = xh.reshape(-1, 2, d)
         l2 = xl.reshape(-1, 2, d)
         c2 = xc.reshape(-1, 2, d)

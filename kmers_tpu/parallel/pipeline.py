@@ -272,6 +272,9 @@ def _merge_step(mesh: Mesh):
         mesh=mesh,
         in_specs=(spec,) * 6,
         out_specs=(spec, spec, spec, P(axis)),
+        # merge_compact_tables uses the Mosaic merge-tail kernel on TPU;
+        # pallas_call's out_shape carries no varying-mesh-axes annotation
+        check_vma=False,
     )
     return jax.jit(mapped)
 

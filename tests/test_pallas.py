@@ -405,3 +405,65 @@ class TestRleKernel:
         )
         for x, y in zip(a, b):
             assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestBitonicMergeKernel:
+    @staticmethod
+    def _jnp_tail_reference(xh, xl, xc, max_d):
+        # the jnp compare-exchange passes of merge_compact_tables for
+        # strides max_d down to 1
+        import jax.numpy as jnp
+
+        xh, xl, xc = jnp.asarray(xh), jnp.asarray(xl), jnp.asarray(xc)
+        d = max_d
+        while d >= 1:
+            h2 = xh.reshape(-1, 2, d)
+            l2 = xl.reshape(-1, 2, d)
+            c2 = xc.reshape(-1, 2, d)
+            th, bh = h2[:, 0], h2[:, 1]
+            tl, bl = l2[:, 0], l2[:, 1]
+            tc, bc = c2[:, 0], c2[:, 1]
+            le = (th < bh) | ((th == bh) & (tl <= bl))
+            xh = jnp.stack([jnp.where(le, th, bh), jnp.where(le, bh, th)], 1).reshape(-1)
+            xl = jnp.stack([jnp.where(le, tl, bl), jnp.where(le, bl, tl)], 1).reshape(-1)
+            xc = jnp.stack([jnp.where(le, tc, bc), jnp.where(le, bc, tc)], 1).reshape(-1)
+            d //= 2
+        return np.asarray(xh), np.asarray(xl), np.asarray(xc)
+
+    @pytest.mark.parametrize("tiles", [1, 2])
+    def test_tail_matches_jnp_passes(self, rng, tiles):
+        from kmers_tpu.ops.pallas.merge_kernel import bitonic_merge_tail_pallas
+
+        W = 128
+        n = tiles * 8 * W
+        hi = rng.integers(0, 50, n).astype(np.uint32)
+        lo = rng.integers(0, 1 << 16, n).astype(np.uint32)
+        cnt = rng.integers(0, 100, n).astype(np.int32)
+        oh, ol, oc = bitonic_merge_tail_pallas(hi, lo, cnt, W=W, interpret=True)
+        wh, wl, wc = self._jnp_tail_reference(hi, lo, cnt, 4 * W)
+        assert np.array_equal(np.asarray(oh), wh)
+        assert np.array_equal(np.asarray(ol), wl)
+        assert np.array_equal(np.asarray(oc), wc)
+
+    def test_full_merge_equivalence(self, rng):
+        # merge_compact_tables with the fused tail must produce the same
+        # table as the pure-jnp network on a bitonic input
+        import jax.numpy as jnp
+        from kmers_tpu.ops.count import compact_counts, merge_compact_tables, sort_count
+
+        # two sorted compact tables of combined pow2 size >= one tile
+        def mk(n):
+            hi = rng.integers(0, 40, n).astype(np.uint32)
+            lo = rng.integers(0, 1 << 12, n).astype(np.uint32)
+            t = sort_count(jnp.asarray(hi), jnp.asarray(lo))
+            uh, ul, c = compact_counts(t[0], t[1], t[2])
+            return uh, ul, c
+
+        ah, al, ac = mk(512)
+        bh, bl, bc = mk(512)
+        ref = merge_compact_tables(ah, al, ac, bh, bl, bc, use_pallas=False)
+        # the fused path needs a TPU to compile; equivalence of the tail
+        # itself is covered above on the same operand layout
+        got = merge_compact_tables(ah, al, ac, bh, bl, bc)
+        for x, y in zip(ref, got):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
