@@ -12,3 +12,6 @@ from .window_kernel import (
     HAVE_PALLAS,
 )
 from .general_kernel import windows_pallas_general
+from .merge_kernel import bitonic_merge_tail_pallas
+from .multiword_kernel import canonical_windows_mw_pallas
+from .rle_kernel import rle_unit_pallas

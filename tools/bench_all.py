@@ -100,6 +100,53 @@ def main():
         dt = _timeit(partial(_chunk_count, K=31, use_pallas=False), data)
         emit("canonical_31mer_count", L, dt, baseline=5.0e7)
 
+    # ---- config 2b: K=47 multi-limb canonical counting (fused Mosaic
+    # front-end for K in 32..63, ops/pallas/multiword_kernel.py) ----
+    if on_tpu:
+        from kmers_tpu.ops.multiword import sort_count_mw
+        from kmers_tpu.ops.pallas.multiword_kernel import (
+            canonical_windows_mw_pallas,
+        )
+
+        @jax.jit
+        def count47(v):
+            limbs, n_bad, n_amb = canonical_windows_mw_pallas(v, 47)
+            ones = jnp.asarray(0xFFFFFFFF, jnp.uint32)
+            is_sent = None
+            for x in limbs:
+                s = x == ones
+                is_sent = s if is_sent is None else is_sent & s
+            return sort_count_mw(limbs, ~is_sent)
+
+        dt = _timeit(lambda: count47(arg2), reps=8)
+        emit("canonical_47mer_count_multilimb", L2, dt)
+
+    # ---- config 2c: sharded counting on this 1-chip mesh (the SPMD
+    # program's single-device throughput vs the flagship) ----
+    if on_tpu:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from kmers_tpu.parallel import data_mesh
+        from kmers_tpu.parallel.pipeline import (
+            _pick_v,
+            _rows_to_u32_view,
+            _shard_with_halo,
+            sharded_count_step,
+        )
+
+        mesh1 = data_mesh(1)
+        shards, shard = _shard_with_halo(
+            acgt[: 1 << 24].copy(), 1, 31, pad_byte=ord("N")
+        )
+        cap = int(np.ceil(shard * 2.0))
+        V = _pick_v(shards.shape[1])
+        stepf = sharded_count_step(mesh1, 31, shard, cap, True, False, V)
+        view = _rows_to_u32_view(shards, V)
+        sharding1 = NamedSharding(mesh1, P(mesh1.axis_names[0], None))
+        arg_s = jax.device_put(view, sharding1)
+        dt = _timeit(lambda: stepf(arg_s), reps=8)
+        emit("sharded_count_1dev", 1 << 24, dt, baseline=5.0e7)
+
     # ---- config 3: minimizer windows (+ spaced) ----
     from kmers_tpu.ops.minimizer import minimizers as _minimizers
 
