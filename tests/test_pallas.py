@@ -467,3 +467,42 @@ class TestBitonicMergeKernel:
         got = merge_compact_tables(ah, al, ac, bh, bl, bc)
         for x, y in zip(ref, got):
             assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestBitonicSortKernel:
+    @pytest.mark.parametrize("tiles", [1, 2, 8])
+    def test_matches_lax_sort(self, rng, tiles):
+        import jax.numpy as jnp
+        from jax import lax
+        from kmers_tpu.ops.pallas.sort_kernel import bitonic_sort_pallas
+
+        W = 128
+        n = tiles * 8 * W
+        hi = rng.integers(0, 50, n).astype(np.uint32)
+        lo = rng.integers(0, 1 << 16, n).astype(np.uint32)
+        sh, sl = bitonic_sort_pallas(
+            jnp.asarray(hi), jnp.asarray(lo), W=W, interpret=True
+        )
+        wh, wl = lax.sort((jnp.asarray(hi), jnp.asarray(lo)), num_keys=2)
+        assert np.array_equal(np.asarray(sh), np.asarray(wh))
+        assert np.array_equal(np.asarray(sl), np.asarray(wl))
+
+    def test_with_sentinels(self, rng):
+        # sentinel-padded streams (the sort_count input contract)
+        import jax.numpy as jnp
+        from jax import lax
+        from kmers_tpu.ops.pallas.sort_kernel import bitonic_sort_pallas
+
+        W = 128
+        n = 2 * 8 * W
+        hi = rng.integers(0, 10, n).astype(np.uint32)
+        lo = rng.integers(0, 4, n).astype(np.uint32)
+        mask = rng.random(n) < 0.3
+        hi[mask] = 0xFFFFFFFF
+        lo[mask] = 0xFFFFFFFF
+        sh, sl = bitonic_sort_pallas(
+            jnp.asarray(hi), jnp.asarray(lo), W=W, interpret=True
+        )
+        wh, wl = lax.sort((jnp.asarray(hi), jnp.asarray(lo)), num_keys=2)
+        assert np.array_equal(np.asarray(sh), np.asarray(wh))
+        assert np.array_equal(np.asarray(sl), np.asarray(wl))
