@@ -90,10 +90,11 @@ def exchange_and_merge_mw(ulimbs, cnt, n_dev: int, cap: int, axis: str):
     rr = jnp.arange(n_rows, dtype=_U32) % n_dev
     dest = jnp.where(is_pad, rr, dest)
 
-    # stable sort by (destination, is_pad): real rows lead each segment,
-    # so a bucket truncating at `cap` only drops padding filler
+    # sort by (destination, is_pad): real rows lead each segment, so a
+    # bucket truncating at `cap` only drops padding filler.  Unstable:
+    # within an equal key the row order is irrelevant (receiver re-sorts).
     key = dest * 2 + is_pad.astype(_U32)
-    sorted_all = lax.sort((key, *ulimbs, cnt), num_keys=1, is_stable=True)
+    sorted_all = lax.sort((key, *ulimbs, cnt), num_keys=1, is_stable=False)
     slimbs, scnt = sorted_all[1:-1], sorted_all[-1]
     seg_counts = jnp.bincount(dest.astype(_I32), length=n_dev)
     seg_real = jnp.bincount(
@@ -104,13 +105,37 @@ def exchange_and_merge_mw(ulimbs, cnt, n_dev: int, cap: int, axis: str):
     )
     overflow = jnp.sum(jnp.maximum(seg_real - cap, 0))
 
-    idx = seg_starts[:, None] + jnp.arange(cap, dtype=_I32)[None, :]
+    # per-destination contiguous dynamic slices instead of one gather
+    # (random gathers are serialized on TPU; see pipeline.exchange_and_merge)
     in_seg = jnp.arange(cap, dtype=_I32)[None, :] < seg_counts[:, None]
-    idx = jnp.clip(idx, 0, n_rows - 1).astype(_I32)
-    blimbs = tuple(
-        jnp.where(in_seg, jnp.take(x, idx), ones) for x in slimbs
+    starts = jnp.clip(seg_starts, 0, n_rows).astype(_I32)
+    pad_limbs = tuple(
+        jnp.concatenate([x, jnp.full(cap, ones, _U32)]) for x in slimbs
     )
-    bc = jnp.where(in_seg, jnp.take(scnt, idx), 0)
+    pad_c = jnp.concatenate([scnt, jnp.zeros(cap, scnt.dtype)])
+    blimbs = tuple(
+        jnp.where(
+            in_seg,
+            jnp.stack(
+                [
+                    jax.lax.dynamic_slice(x, (starts[d],), (cap,))
+                    for d in range(n_dev)
+                ]
+            ),
+            ones,
+        )
+        for x in pad_limbs
+    )
+    bc = jnp.where(
+        in_seg,
+        jnp.stack(
+            [
+                jax.lax.dynamic_slice(pad_c, (starts[d],), (cap,))
+                for d in range(n_dev)
+            ]
+        ),
+        0,
+    )
 
     a2a = partial(
         jax.lax.all_to_all, axis_name=axis, split_axis=0, concat_axis=0, tiled=True

@@ -191,13 +191,26 @@ def exchange_and_merge(uh, ul, cnt, n_dev: int, cap: int, axis: str):
     )
     overflow = jnp.sum(jnp.maximum(seg_real - cap, 0))
 
-    # fixed-capacity buckets: (n_dev, cap), real rows first per segment
-    idx = seg_starts[:, None] + jnp.arange(cap, dtype=_I32)[None, :]
+    # fixed-capacity buckets: (n_dev, cap), real rows first per segment.
+    # Each destination's rows are CONTIGUOUS after the destination sort,
+    # so bucket d is a dynamic slice at seg_starts[d] — n_dev cheap
+    # dynamic-slice ops instead of one big gather (random gathers are
+    # serialized on TPU: measured 151 ms at 2^24 in round 3).  Inputs are
+    # padded by cap sentinel rows so a slice never clamps.
+    pad_h = jnp.concatenate([suh, jnp.full(cap, sent, _U32)])
+    pad_l = jnp.concatenate([sul, jnp.full(cap, sent, _U32)])
+    pad_c = jnp.concatenate([scnt, jnp.zeros(cap, scnt.dtype)])
     in_seg = jnp.arange(cap, dtype=_I32)[None, :] < seg_counts[:, None]
-    idx = jnp.clip(idx, 0, n_rows - 1).astype(_I32)
-    bh = jnp.where(in_seg, jnp.take(suh, idx), sent)
-    bl = jnp.where(in_seg, jnp.take(sul, idx), sent)
-    bc = jnp.where(in_seg, jnp.take(scnt, idx), 0)
+    starts = jnp.clip(seg_starts, 0, n_rows).astype(_I32)
+    bh_rows, bl_rows, bc_rows = [], [], []
+    for d in range(n_dev):
+        s0 = (starts[d],)
+        bh_rows.append(jax.lax.dynamic_slice(pad_h, s0, (cap,)))
+        bl_rows.append(jax.lax.dynamic_slice(pad_l, s0, (cap,)))
+        bc_rows.append(jax.lax.dynamic_slice(pad_c, s0, (cap,)))
+    bh = jnp.where(in_seg, jnp.stack(bh_rows), sent)
+    bl = jnp.where(in_seg, jnp.stack(bl_rows), sent)
+    bc = jnp.where(in_seg, jnp.stack(bc_rows), 0)
 
     # exchange: row d of the result comes from device d's bucket for us
     a2a = partial(
