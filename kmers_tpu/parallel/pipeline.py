@@ -111,6 +111,9 @@ def _local_count_body(
         hi, lo, n_bad, _n_amb = canonical_windows_u32_pallas(
             data, K, V=V, interpret=interpret
         )
+        # layout fence between the Mosaic front-end and the sort (see
+        # pipelines/canonical_count._chunk_count_u32)
+        hi, lo = jax.lax.optimization_barrier((hi, lo))
         uh, ul, cnt, nu = sort_count(
             hi, lo, None, use_pallas=True, interpret=interpret,
             key_bits=2 * K,

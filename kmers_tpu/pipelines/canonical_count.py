@@ -131,6 +131,11 @@ def _chunk_count_u32(v_u32, K: int, checked: bool = False):
     from ..ops.pallas.window_kernel import canonical_windows_u32_pallas
 
     hi, lo, n_bad, n_amb = canonical_windows_u32_pallas(v_u32, K, V=_V_U32)
+    # layout fence: without it XLA materializes the kernel outputs in a
+    # sort-hostile layout and sort.0 pays a ~4 ms relayout per 2^24 chunk
+    # (in-pipeline 34.9 ms vs 30.6 ms standalone, round-3 profile; the
+    # barrier recovers the same ~4.5% as a physical split dispatch)
+    hi, lo = jax.lax.optimization_barrier((hi, lo))
     uh, ul, cnt, nu = sort_count(hi, lo, None, use_pallas=True, key_bits=2 * K)
     if not checked:
         return uh, ul, cnt, nu, n_bad, n_amb
