@@ -17,7 +17,12 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["read_fastx", "read_fastx_bytes", "native_available"]
+__all__ = [
+    "read_fastx",
+    "read_fastx_bytes",
+    "stream_fastx",
+    "native_available",
+]
 
 _NATIVE_DIR = Path(__file__).parent / "native"
 _SO_PATH = _NATIVE_DIR / "libfastx.so"
@@ -219,3 +224,69 @@ def merge_count_tables_native(k1, c1, k2, c2):
     summed = np.zeros(uniq.size, np.int64)
     np.add.at(summed, inv, counts)
     return uniq, summed
+
+
+def stream_fastx(path, batch_bytes: int = 1 << 26):
+    """Stream a FASTA/FASTQ file as (seq_bytes, record_offsets) batches.
+
+    Reads ``batch_bytes``-sized blocks and yields each as a parsed CSR
+    record batch, cutting only at record boundaries — records are never
+    split across batches, so feeding the batches to
+    :class:`kmers_tpu.pipelines.StreamingCounter` is bit-identical to
+    parsing the whole file at once.  Host memory stays O(batch + largest
+    record).  Gzip input streams through zlib's inflate.
+
+    FASTQ streaming assumes the standard 4-line record form (batch cuts
+    align to multiples of four lines); multi-line FASTQ should use
+    :func:`read_fastx`.
+    """
+    with open(path, "rb") as raw:
+        head = raw.read(2)
+        raw.seek(0)
+        if head == b"\x1f\x8b":
+            import gzip
+
+            f = gzip.open(raw)
+            yield from _stream_fastx_file(f, batch_bytes)
+        else:
+            yield from _stream_fastx_file(raw, batch_bytes)
+
+
+def _fastx_cut(buf: bytes, is_fastq: bool) -> int:
+    """Byte index where the trailing (possibly partial) record starts;
+    everything before it is complete records."""
+    if is_fastq:
+        # standard 4-line records: cut after the last full group of 4 lines
+        n_lines = buf.count(b"\n")
+        keep = (n_lines // 4) * 4
+        if keep == 0:
+            return 0
+        pos = -1
+        for _ in range(keep):
+            pos = buf.index(b"\n", pos + 1)
+        return pos + 1
+    cut = buf.rfind(b"\n>")
+    return cut + 1 if cut != -1 else 0
+
+
+def _stream_fastx_file(f, batch_bytes: int):
+    carry = b""
+    is_fastq = None
+    while True:
+        block = f.read(batch_bytes)
+        if not block:
+            break
+        buf = carry + block
+        if is_fastq is None:
+            if buf[:1] == b"@":
+                is_fastq = True
+            elif buf[:1] == b">":
+                is_fastq = False
+            else:
+                raise ValueError("malformed FASTA/FASTQ input")
+        cut = _fastx_cut(buf, is_fastq)
+        emit, carry = buf[:cut], buf[cut:]
+        if emit:
+            yield read_fastx_bytes(emit)
+    if carry:
+        yield read_fastx_bytes(carry)

@@ -11,6 +11,7 @@ from .canonical_count import (
     join_records_with_n,
 )
 from .minhash import minhash_sketch, jaccard
+from .streaming import StreamingCounter, count_fastx_stream
 from .extract import extract_kmers, spaced_kmers, minimizer_select, syncmer_select
 from .tables import (
     merge_counts,

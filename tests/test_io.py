@@ -122,3 +122,89 @@ def test_read_fastx_gzip(tmp_path):
     s2, o2 = read_fastx(gz)
     assert np.array_equal(s1, s2) and np.array_equal(o1, o2)
     assert bytes(s2).decode() == "ACGTACGTACGTTTTT"
+
+
+class TestStreamFastx:
+    @staticmethod
+    def _write_fasta(path, rng, n_rec=40, lmin=50, lmax=900):
+        recs = []
+        with open(path, "wb") as f:
+            for i in range(n_rec):
+                s = "".join(
+                    "ACGTN"[j] for j in rng.integers(0, 5, rng.integers(lmin, lmax))
+                )
+                recs.append(s)
+                f.write(f">r{i} desc\n".encode())
+                for k in range(0, len(s), 60):
+                    f.write(s[k : k + 60].encode() + b"\n")
+        return recs
+
+    def test_fasta_batches_match_whole_file(self, tmp_path, rng):
+        from kmers_tpu.io import read_fastx, stream_fastx
+
+        p = tmp_path / "reads.fa"
+        self._write_fasta(p, rng)
+        seq, off = read_fastx(p)
+        got_seqs = []
+        for bseq, boff in stream_fastx(p, batch_bytes=777):
+            for i in range(boff.size - 1):
+                got_seqs.append(bytes(bseq[boff[i] : boff[i + 1]]))
+        want = [
+            bytes(seq[off[i] : off[i + 1]]) for i in range(off.size - 1)
+        ]
+        assert got_seqs == want
+
+    def test_fastq_batches_match_whole_file(self, tmp_path, rng):
+        from kmers_tpu.io import read_fastx, stream_fastx
+
+        p = tmp_path / "reads.fq"
+        with open(p, "wb") as f:
+            for i in range(60):
+                s = "".join("ACGT"[j] for j in rng.integers(0, 4, 80))
+                f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n".encode())
+        seq, off = read_fastx(p)
+        got = []
+        for bseq, boff in stream_fastx(p, batch_bytes=1000):
+            for i in range(boff.size - 1):
+                got.append(bytes(bseq[boff[i] : boff[i + 1]]))
+        want = [bytes(seq[off[i] : off[i + 1]]) for i in range(off.size - 1)]
+        assert got == want
+
+    def test_gzip_stream(self, tmp_path, rng):
+        import gzip
+
+        from kmers_tpu.io import read_fastx, stream_fastx
+
+        p = tmp_path / "reads.fa"
+        self._write_fasta(p, rng, n_rec=10)
+        gz = tmp_path / "reads.fa.gz"
+        gz.write_bytes(gzip.compress(p.read_bytes()))
+        seq, off = read_fastx(p)
+        parts = list(stream_fastx(gz, batch_bytes=512))
+        total = sum(b.size for b, _ in parts)
+        assert total == seq.size
+
+    def test_streaming_counter_matches_batch(self, tmp_path, rng):
+        from kmers_tpu.pipelines import (
+            CountConfig,
+            canonical_count_records,
+            count_fastx_stream,
+        )
+        from kmers_tpu.io import read_fastx
+
+        p = tmp_path / "reads.fa"
+        self._write_fasta(p, rng, n_rec=30, lmin=40, lmax=400)
+        cfg = CountConfig(K=15, chunk_size=2048)
+        k1, c1 = count_fastx_stream(p, cfg, batch_bytes=999)
+        seq, off = read_fastx(p)
+        k2, c2 = canonical_count_records(seq, off, cfg)
+        assert np.array_equal(k1, k2) and np.array_equal(c1, c2)
+
+    def test_streaming_counter_invalid_raises(self):
+        from kmers_tpu import EncodeError
+        from kmers_tpu.pipelines import CountConfig, StreamingCounter
+
+        sc = StreamingCounter(CountConfig(K=5))
+        sc.update(b"ACGTACGTAC!GTACGT")
+        with pytest.raises(EncodeError):
+            sc.finalize()
