@@ -28,13 +28,22 @@ def cmd_count(args):
     from .pipelines.canonical_count import CountConfig, canonical_count_records
     from .utils import Metrics, checked, save_count_table
 
-    seq, off = _load(args.input)
     m = Metrics() if args.metrics else None
     ctx = checked() if args.checked else contextlib.nullcontext()
     with ctx:
-        kmers, counts = canonical_count_records(
-            seq, off, CountConfig(K=args.k), metrics=m
-        )
+        if args.stream:
+            # never loads the file: record batches stream through the
+            # device-resident accumulator (pipelines/streaming.py)
+            from .pipelines import count_fastx_stream
+
+            kmers, counts = count_fastx_stream(
+                args.input, CountConfig(K=args.k)
+            )
+        else:
+            seq, off = _load(args.input)
+            kmers, counts = canonical_count_records(
+                seq, off, CountConfig(K=args.k), metrics=m
+            )
     if m is not None:
         print(m.dump(), file=sys.stderr)
     if args.output:
@@ -84,6 +93,43 @@ def cmd_merge(args):
             }
         )
     )
+
+
+def cmd_verify(args):
+    """Deterministic-rerun check: re-hash the checkpoint's recorded
+    inputs and compare (SURVEY §5 failure model — a rerun on verified
+    inputs reproduces the table bit-exactly)."""
+    from .utils import input_manifest_entry, load_count_table
+
+    kmers, counts, K, manifest = load_count_table(
+        args.checkpoint, return_manifest=True
+    )
+    entries = manifest.get("inputs", [])
+    if not entries:
+        raise SystemExit("checkpoint records no input manifest")
+    bad = []
+    for want in entries:
+        try:
+            got = input_manifest_entry(want["path"])
+        except OSError as e:
+            bad.append({"path": want["path"], "error": str(e)})
+            continue
+        if got["sha256"] != want["sha256"] or got["bytes"] != want["bytes"]:
+            bad.append({"path": want["path"], "expected": want, "found": got})
+    print(
+        json.dumps(
+            {
+                "checkpoint": args.checkpoint,
+                "K": K,
+                "distinct": int(kmers.size),
+                "inputs_checked": len(entries),
+                "inputs_changed": bad,
+                "ok": not bad,
+            }
+        )
+    )
+    if bad:
+        raise SystemExit(1)
 
 
 def cmd_sketch(args):
@@ -160,7 +206,20 @@ def main(argv=None):
         help="enable checked mode (validates unsafe preconditions and "
         "count conservation; see docs/debugging.md)",
     )
+    c.add_argument(
+        "--stream", action="store_true",
+        help="stream the file in record batches instead of loading it "
+        "(files larger than host memory; K <= 31)",
+    )
     c.set_defaults(fn=cmd_count)
+
+    vr = sub.add_parser(
+        "verify",
+        help="check a checkpoint's recorded inputs (size + sha256) so a "
+        "rerun is known to see identical data",
+    )
+    vr.add_argument("checkpoint", help="count-table checkpoint directory")
+    vr.set_defaults(fn=cmd_verify)
 
     m = sub.add_parser(
         "merge", help="merge count-table checkpoints (counts sum)"

@@ -90,3 +90,26 @@ def test_merge_k_mismatch(fasta, tmp_path, capsys):
     capsys.readouterr()
     with pytest.raises(SystemExit):
         run_cli("merge", d1, d2, "-o", tmp_path / "m")
+
+
+def test_count_stream(fasta, capsys):
+    run_cli("count", fasta, "-k", "15", "--stream", "--top", "2")
+    out = capsys.readouterr()
+    stats = json.loads(out.err.strip().splitlines()[-1])
+    assert stats["total"] == 8 * (120 - 15 + 1)
+
+
+def test_verify_checkpoint(fasta, tmp_path, capsys):
+    run_cli("count", fasta, "-k", "15", "-o", tmp_path / "tbl")
+    capsys.readouterr()
+    run_cli("verify", tmp_path / "tbl")
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["ok"] and rep["inputs_checked"] == 1
+
+    # mutate the input: verify must fail loudly
+    with open(fasta, "ab") as f:
+        f.write(b">extra\nACGT\n")
+    with pytest.raises(SystemExit):
+        run_cli("verify", tmp_path / "tbl")
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert not rep["ok"] and rep["inputs_changed"]
