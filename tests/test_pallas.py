@@ -506,3 +506,55 @@ class TestBitonicSortKernel:
         wh, wl = lax.sort((jnp.asarray(hi), jnp.asarray(lo)), num_keys=2)
         assert np.array_equal(np.asarray(sh), np.asarray(wh))
         assert np.array_equal(np.asarray(sl), np.asarray(wl))
+
+
+class TestCompactTailKernel:
+    def test_matches_jnp_passes(self, rng):
+        import jax.numpy as jnp
+        from kmers_tpu.ops.count import compact_counts, sort_count
+        from kmers_tpu.ops.pallas.merge_kernel import compact_tail_pallas
+
+        W = 128
+        n = 2 * 8 * W
+        hi = rng.integers(0, 60, n).astype(np.uint32)
+        lo = rng.integers(0, 8, n).astype(np.uint32)
+        uh, ul, cnt, _ = sort_count(jnp.asarray(hi), jnp.asarray(lo))
+        # reference: the pure-jnp network
+        wh, wl, wc = compact_counts(uh, ul, cnt, use_pallas=False)
+        # kernel: fused in-tile passes + the remaining jnp passes, by
+        # replaying compact_counts' tail manually
+        real = np.asarray(cnt) > 0
+        nreal = (~real).astype(np.int32)
+        d = np.cumsum(nreal) - nreal
+        oh, ol, oc, d2, v2 = compact_tail_pallas(
+            uh, ul, jnp.asarray(np.asarray(cnt), jnp.int32),
+            jnp.asarray(d, jnp.int32),
+            jnp.asarray(real.astype(np.int32)),
+            W=W, interpret=True,
+        )
+        oh, ol, oc = np.asarray(oh), np.asarray(ol), np.asarray(oc)
+        d2, v2 = np.asarray(d2), np.asarray(v2).astype(bool)
+        k = (8 * W).bit_length() - 1
+        while (1 << k) < n:
+            s = 1 << k
+
+            def sh(a):
+                return np.concatenate([a[s:], np.zeros(s, a.dtype)])
+
+            d_in = sh(d2)
+            v_in = sh(v2.astype(np.int8)).astype(bool)
+            take = v_in & (((d_in >> k) & 1) == 1)
+            stay = v2 & (((d2 >> k) & 1) == 0)
+            oh = np.where(take, sh(oh), np.where(stay, oh, 0))
+            ol = np.where(take, sh(ol), np.where(stay, ol, 0))
+            oc = np.where(take, sh(oc), np.where(stay, oc, 0))
+            d2 = np.where(take, d_in, d2)
+            v2 = take | stay
+            k += 1
+        sent = np.uint32(0xFFFFFFFF)
+        got_h = np.where(v2, oh, sent)
+        got_l = np.where(v2, ol, sent)
+        got_c = np.where(v2, oc, 0)
+        assert np.array_equal(got_h, np.asarray(wh))
+        assert np.array_equal(got_l, np.asarray(wl))
+        assert np.array_equal(got_c, np.asarray(wc))
