@@ -54,8 +54,22 @@ def _preamble(tmp_path):
         "AminoAcidAlphabet": kt.AminoAcidAlphabet,
         "ncbi_trans_table": kt.ncbi_trans_table,
         "tmp_path": tmp_path,
+        "fastx_path": _write_fastx_gz(tmp_path, rng),
     }
     return ns
+
+
+def _write_fastx_gz(tmp_path, rng):
+    """The small gzip FASTQ file the streaming snippets read."""
+    import gzip
+
+    p = tmp_path / "reads.fq.gz"
+    recs = []
+    for i in range(6):
+        s = "".join("ACGT"[j] for j in rng.integers(0, 4, 200))
+        recs.append(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+    p.write_bytes(gzip.compress("".join(recs).encode()))
+    return str(p)
 
 
 @pytest.mark.parametrize("page,blocks", list(_pages()))
