@@ -275,6 +275,9 @@ def _compact_step(mesh: Mesh):
         mesh=mesh,
         in_specs=(spec,) * 3,
         out_specs=(spec,) * 3,
+        # compact_counts uses the Mosaic compaction-tail kernel on TPU;
+        # pallas_call's out_shape carries no varying-mesh-axes annotation
+        check_vma=False,
     )
     return jax.jit(mapped)
 
