@@ -33,11 +33,13 @@ def cmd_count(args):
     with ctx:
         if args.stream:
             # never loads the file: record batches stream through the
-            # device-resident accumulator (pipelines/streaming.py)
+            # device-resident accumulator (pipelines/streaming.py, which
+            # always enforces window conservation; --checked additionally
+            # validates the unsafe scalar surface)
             from .pipelines import count_fastx_stream
 
             kmers, counts = count_fastx_stream(
-                args.input, CountConfig(K=args.k)
+                args.input, CountConfig(K=args.k), metrics=m
             )
         else:
             seq, off = _load(args.input)

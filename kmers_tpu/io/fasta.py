@@ -256,14 +256,17 @@ def _fastx_cut(buf: bytes, is_fastq: bool) -> int:
     """Byte index where the trailing (possibly partial) record starts;
     everything before it is complete records."""
     if is_fastq:
-        # standard 4-line records: cut after the last full group of 4 lines
+        # standard 4-line records: cut after the last full group of 4
+        # lines.  With rem = n_lines % 4, the cut sits after newline
+        # number n_lines - rem, which is rem+1 rfind steps from the end
+        # (one extra step absorbs any trailing partial line) — O(tail)
+        # instead of one .index call per newline in the batch.
         n_lines = buf.count(b"\n")
-        keep = (n_lines // 4) * 4
-        if keep == 0:
+        if n_lines // 4 == 0:
             return 0
-        pos = -1
-        for _ in range(keep):
-            pos = buf.index(b"\n", pos + 1)
+        pos = len(buf)
+        for _ in range(n_lines % 4 + 1):
+            pos = buf.rfind(b"\n", 0, pos)
         return pos + 1
     cut = buf.rfind(b"\n>")
     return cut + 1 if cut != -1 else 0

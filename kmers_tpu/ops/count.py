@@ -208,9 +208,11 @@ def _next_pow2(n: int) -> int:
     return 1 << max(int(n - 1).bit_length(), 0)
 
 
-@partial(jax.jit, static_argnames=("use_pallas",))
+@partial(jax.jit, static_argnames=("use_pallas", "tail_interpret"))
 def merge_compact_tables(
-    hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b, use_pallas: bool | None = None
+    hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b,
+    use_pallas: bool | None = None,
+    tail_interpret: bool = False,
 ):
     """Merge two *sorted* count tables with a bitonic merge network.
 
@@ -257,7 +259,9 @@ def merge_compact_tables(
         if fuse and d <= 4 * W:
             from .pallas.merge_kernel import bitonic_merge_tail_pallas
 
-            xh, xl, xc = bitonic_merge_tail_pallas(xh, xl, xc, W=W)
+            xh, xl, xc = bitonic_merge_tail_pallas(
+                xh, xl, xc, W=W, interpret=tail_interpret
+            )
             break
         h2 = xh.reshape(-1, 2, d)
         l2 = xl.reshape(-1, 2, d)

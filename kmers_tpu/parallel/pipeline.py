@@ -525,25 +525,23 @@ def _streamed_sharded_count(
     compact = _compact_step(mesh)
     merge = _merge_step(mesh)
 
-    # level stack of (level, (uh, ul, cnt)) — sharded (n_dev, cap) tables;
-    # see pipelines/canonical_count.py for the cost analysis (O(c u log c)
-    # merge work, O(u log c) peak memory over c chunks, u distinct kmers)
-    stack: list[tuple[int, tuple]] = []
-
+    # shared level-stack accumulator over sharded (n_dev, cap) tables
+    # (utils/levelstack.py; one scalar fetch per chunk for the capacity)
     def _slice_nu(tbl, nu):
         # uniform capacity across devices: the max distinct count (shapes
-        # must agree on every device; one scalar fetch per chunk)
+        # must agree on every device)
         cap = _next_pow2(max(int(np.asarray(nu).max()), 1))
         return tuple(x[:, :cap] for x in tbl)
 
-    def _push(tbl):
-        level = 0
-        while stack and stack[-1][0] == level:
-            _, other = stack.pop()
-            mh, ml, mc, mnu = merge(*other, *tbl)
-            tbl = _slice_nu((mh, ml, mc), mnu)
-            level += 1
-        stack.append((level, tbl))
+    def _merge2(a, b):
+        return merge(*a, *b)
+
+    def _slice2(out):
+        return _slice_nu(out[:3], out[3])
+
+    from ..utils.levelstack import LevelStack
+
+    stack = LevelStack(_merge2, _slice2)
 
     dev_bad = None
     n_steps = max(-(-shard // step_len), 1)
@@ -564,12 +562,9 @@ def _streamed_sharded_count(
         uh, ul, cnt, nu, n_bad = count(jax.device_put(view, sharding))
         dev_bad = n_bad if dev_bad is None else dev_bad + n_bad
         uh, ul, cnt = compact(uh, ul, cnt)
-        _push(_slice_nu((uh, ul, cnt), nu))
+        stack.push(_slice_nu((uh, ul, cnt), nu))
 
-    tbl = stack.pop()[1]
-    while stack:
-        mh, ml, mc, mnu = merge(*stack.pop()[1], *tbl)
-        tbl = _slice_nu((mh, ml, mc), mnu)
+    tbl = stack.fold()
 
     # one exchange on the final compact tables: per-destination capacity
     # tracks the per-device distinct count

@@ -210,37 +210,12 @@ def canonical_count_bytes(
     # stream in overlapping chunks: consecutive chunks share K-1 bases so
     # no window is lost at a boundary (the shard-level carry propagation
     # of SURVEY.md §2.7 item 4, on one device)
-    step = max(config.chunk_size - (K - 1), K)
-    # the accumulator is a mergesort-style STACK of compact tables, one
-    # per size level: per chunk the table is front-packed
-    # (compact_counts, gather-free log-shift) and pushed at level 0;
-    # equal-level tables merge pairwise with a bitonic merge
-    # (merge_compact_tables) and carry up.  Equal-size merging matters
-    # because the bitonic network pads both sides to the larger pow2
-    # capacity: folding each small chunk into one growing accumulator
-    # costs O(c^2 u) total network work over c chunks, the level stack
-    # costs O(c u log c).  Any merge order yields the identical final
-    # table (sorted-unique with summed counts), so results stay
-    # bit-exact.  Merge cost tracks the distinct-kmer count u, not the
-    # stream length; peak memory is O(u log c) — up to log2(c) live
-    # tables at once, a factor-log tradeoff accepted for the O(c/log c)
-    # reduction in merge work vs a single growing accumulator.
-    stack: list[tuple[int, tuple]] = []  # (level, (uh, ul, cnt))
-
-    def _push(tbl, merge_fn, slice_fn):
-        level = 0
-        while stack and stack[-1][0] == level:
-            _, other = stack.pop()
-            tbl = slice_fn(merge_fn(other, tbl))
-            level += 1
-        stack.append((level, tbl))
-
-    def _fold(merge_fn, slice_fn):
-        # fold remaining levels smallest-first (top of stack is smallest)
-        tbl = stack.pop()[1]
-        while stack:
-            tbl = slice_fn(merge_fn(stack.pop()[1], tbl))
-        return tbl
+    # stride = windows per chunk; the old max(..., K) clamp skipped
+    # window starts whenever K <= chunk_size < 2K-1 (round-4 review)
+    step = config.chunk_size - (K - 1)
+    # the accumulator is the shared mergesort-style level stack
+    # (utils/levelstack.py: O(c u log c) merge work, O(u log c) peak
+    # memory over c chunks; merge order does not affect the table)
 
     acc = None  # single-dispatch fast path result
     # error counters accumulate ON DEVICE and are fetched once after the
@@ -268,6 +243,9 @@ def canonical_count_bytes(
         cap = _next_pow2(max(int(mnu), 1))
         return (mh[:cap], ml[:cap], mc[:cap])
 
+    from ..utils.levelstack import LevelStack
+
+    stack = LevelStack(_merge, _slice)
     starts = list(range(0, max(L - K + 1, 1), step))
     for start in starts:
         chunk = arr[start : start + config.chunk_size]
@@ -306,10 +284,10 @@ def canonical_count_bytes(
             break
         uh, ul, cnt = compact_counts(uh, ul, cnt)
         bcap = _next_pow2(max(int(nu), 1))  # scalar fetch per chunk
-        _push((uh[:bcap], ul[:bcap], cnt[:bcap]), _merge, _slice)
+        stack.push((uh[:bcap], ul[:bcap], cnt[:bcap]))
 
-    if acc is None and stack:
-        acc = _fold(_merge, _slice)
+    if acc is None and len(stack):
+        acc = stack.fold()
 
     total_invalid = int(dev_invalid)
     total_ambig = int(dev_ambig) - total_pad
@@ -400,12 +378,10 @@ def _canonical_count_multiword(data, config: CountConfig):
         ulimbs, counts, nu = sort_count_mw(limbs, ~is_sent)
         return ulimbs, counts, nu, n_bad, n_amb
 
-    step = max(config.chunk_size - (K - 1), K)
+    # stride = windows per chunk; the old max(..., K) clamp skipped
+    # window starts whenever K <= chunk_size < 2K-1 (round-4 review)
+    step = config.chunk_size - (K - 1)
     starts = list(range(0, max(L - K + 1, 1), step))
-    # mergesort-style level stack (see canonical_count_bytes: equal-size
-    # bitonic merges cost O(c u log c) over c chunks vs O(c^2 u) for a
-    # single growing accumulator; merge order does not affect the table)
-    stack: list[tuple[int, tuple]] = []
 
     def _merge(a, b):
         return merge_compact_tables_mw(a[0], a[1], b[0], b[1])
@@ -415,13 +391,9 @@ def _canonical_count_multiword(data, config: CountConfig):
         cap = _next_pow2(max(int(mnu), 1))
         return (tuple(x[:cap] for x in mlimbs), mc[:cap])
 
-    def _push(tbl):
-        level = 0
-        while stack and stack[-1][0] == level:
-            _, other = stack.pop()
-            tbl = _slice(_merge(other, tbl))
-            level += 1
-        stack.append((level, tbl))
+    from ..utils.levelstack import LevelStack
+
+    stack = LevelStack(_merge, _slice)
 
     acc = None  # (limbs tuple, cnt) compact device arrays, pow2 capacity
     dev_invalid = jnp.zeros((), jnp.int32)
@@ -449,13 +421,10 @@ def _canonical_count_multiword(data, config: CountConfig):
             break
         ulimbs, counts = compact_counts_mw(ulimbs, counts)
         bcap = _next_pow2(max(int(nu), 1))
-        _push((tuple(x[:bcap] for x in ulimbs), counts[:bcap]))
+        stack.push((tuple(x[:bcap] for x in ulimbs), counts[:bcap]))
 
-    if acc is None and stack:
-        tbl = stack.pop()[1]
-        while stack:
-            tbl = _slice(_merge(stack.pop()[1], tbl))
-        acc = tbl
+    if acc is None and len(stack):
+        acc = stack.fold()
 
     total_invalid = int(dev_invalid)
     total_ambig = int(dev_ambig) - total_pad

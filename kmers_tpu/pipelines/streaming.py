@@ -46,7 +46,7 @@ class StreamingCounter:
     (single-register tables).
     """
 
-    def __init__(self, config: CountConfig = CountConfig()):
+    def __init__(self, config: CountConfig = CountConfig(), metrics=None):
         if config.K > 31:
             raise ValueError(
                 "StreamingCounter supports K <= 31 (use "
@@ -54,24 +54,31 @@ class StreamingCounter:
             )
         if not config.skip_ambiguous:
             raise ValueError("streaming counting requires skip_ambiguous=True")
+        if config.chunk_size < config.K:
+            raise ValueError("chunk_size must be >= K")
         self.config = config
-        self._stack: list[tuple[int, tuple]] = []  # (level, (uh, ul, cnt))
+        self.metrics = metrics
+        from ..utils.levelstack import LevelStack
+
+        def _merge(a, b):
+            return merge_compact_tables(*a, *b)
+
+        def _slice(out):
+            mh, ml, mc, mnu = out
+            cap = _next_pow2(max(int(mnu), 1))
+            return (mh[:cap], ml[:cap], mc[:cap])
+
+        self._stack = LevelStack(_merge, _slice)
         self._use_pallas = (
             _on_tpu() if config.use_pallas is None else config.use_pallas
         )
         self._n_invalid = 0
+        self._n_valid = 0  # Python int: unbounded window-conservation tally
+        self._n_windows = 0
         self._bases = 0
         self._done = False
-
-    def _push(self, tbl):
-        level = 0
-        while self._stack and self._stack[-1][0] == level:
-            _, other = self._stack.pop()
-            mh, ml, mc, mnu = merge_compact_tables(*other, *tbl)
-            cap = _next_pow2(max(int(mnu), 1))
-            tbl = (mh[:cap], ml[:cap], mc[:cap])
-            level += 1
-        self._stack.append((level, tbl))
+        if metrics is not None:
+            metrics.start_batch()
 
     def update(self, seq_bytes, offsets=None):
         """Count one record batch.  ``offsets`` (optional int64 CSR
@@ -88,9 +95,13 @@ class StreamingCounter:
         K = self.config.K
         L = arr.shape[0]
         if L < K:
+            self._bases += L
             return
         self._bases += L
-        step = max(self.config.chunk_size - (K - 1), K)
+        self._n_windows += L - K + 1
+        # stride = windows per chunk (no clamp: chunk_size >= K is
+        # validated, so step >= 1 and chunks tile all window starts)
+        step = self.config.chunk_size - (K - 1)
         for start in range(0, max(L - K + 1, 1), step):
             chunk = arr[start : start + self.config.chunk_size]
             # quantize the dispatch shape (pow2 buckets, 'N' padding) so
@@ -101,21 +112,27 @@ class StreamingCounter:
                 chunk = np.concatenate(
                     [chunk, np.full(target - chunk.shape[0], ord("N"), np.uint8)]
                 )
+            # checked variants: the per-chunk valid-window tally feeds the
+            # finalize() conservation guard, which catches both kernel
+            # bugs and int32 accumulator overflow on unbounded streams
             if self._use_pallas:
                 v, _ = _pad_to_u32_view(chunk)
-                uh, ul, cnt, nu, n_inv, _n_amb = _chunk_count_u32(
-                    jnp.asarray(v), K
+                uh, ul, cnt, nu, n_inv, _n_amb, n_val, _n_cnt = (
+                    _chunk_count_u32(jnp.asarray(v), K, checked=True)
                 )
             else:
-                uh, ul, cnt, nu, n_inv, _n_amb = _chunk_count(
-                    jnp.asarray(chunk), K, False
+                from .canonical_count import _chunk_count_checked
+
+                uh, ul, cnt, nu, n_inv, _n_amb, n_val, _n_cnt = (
+                    _chunk_count_checked(jnp.asarray(chunk), K, False)
                 )
             # per-chunk scalar fetches: the streaming API is sync per
             # batch anyway (the reader is the bottleneck)
             self._n_invalid += int(n_inv)
+            self._n_valid += int(n_val)
             uh, ul, cnt = compact_counts(uh, ul, cnt)
             cap = _next_pow2(max(int(nu), 1))
-            self._push((uh[:cap], ul[:cap], cnt[:cap]))
+            self._stack.push((uh[:cap], ul[:cap], cnt[:cap]))
 
     @property
     def bases_seen(self) -> int:
@@ -125,27 +142,45 @@ class StreamingCounter:
         """Fold the accumulator and return sorted ``(kmers, counts)``.
 
         Raises :class:`EncodeError` if any invalid (non-IUPAC) byte was
-        seen in any batch."""
+        seen in any batch, and :class:`RuntimeError` if window
+        conservation fails — every valid window must be counted exactly
+        once, so a mismatch means the int32 accumulator overflowed (a
+        single kmer exceeding 2^31 occurrences) or a kernel bug."""
         from ..alphabets import DNAAlphabet2, EncodeError
 
         self._done = True
         if self._n_invalid:
             raise EncodeError(DNAAlphabet2(), "<stream input>")
-        if not self._stack:
+        if not len(self._stack):
             return np.zeros(0, np.uint64), np.zeros(0, np.int64)
-        tbl = self._stack.pop()[1]
-        while self._stack:
-            mh, ml, mc, mnu = merge_compact_tables(*self._stack.pop()[1], *tbl)
-            cap = _next_pow2(max(int(mnu), 1))
-            tbl = (mh[:cap], ml[:cap], mc[:cap])
+        tbl = self._stack.fold()
         uh, ul, cnt = (np.asarray(x) for x in tbl)
         kmers = (uh.astype(np.uint64) << np.uint64(32)) | ul.astype(np.uint64)
         keep = cnt > 0
-        return kmers[keep], cnt[keep].astype(np.int64)
+        kmers, counts = kmers[keep], cnt[keep].astype(np.int64)
+        counted = int(counts.sum())
+        if counted != self._n_valid:
+            raise RuntimeError(
+                f"window conservation violated: {self._n_valid} valid "
+                f"windows seen but {counted} counted — int32 count "
+                "accumulator overflow (a kmer with >= 2^31 occurrences) "
+                "or a kernel bug"
+            )
+        if self.metrics is not None:
+            self.metrics.end_batch(
+                bases_in=self._bases,
+                windows_out=counted,
+                windows_skipped=self._n_windows - counted,
+                distinct_kmers=int(kmers.shape[0]),
+            )
+        return kmers, counts
 
 
 def count_fastx_stream(
-    path, config: CountConfig = CountConfig(), batch_bytes: int = 1 << 26
+    path,
+    config: CountConfig = CountConfig(),
+    batch_bytes: int = 1 << 26,
+    metrics=None,
 ):
     """Count canonical K-mers of a FASTA/FASTQ file without loading it:
     stream record batches through a :class:`StreamingCounter`.
@@ -155,7 +190,7 @@ def count_fastx_stream(
     """
     from ..io import stream_fastx
 
-    sc = StreamingCounter(config)
+    sc = StreamingCounter(config, metrics=metrics)
     for seq, off in stream_fastx(path, batch_bytes=batch_bytes):
         sc.update(seq, off)
     return sc.finalize()

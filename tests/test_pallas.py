@@ -446,25 +446,26 @@ class TestBitonicMergeKernel:
         assert np.array_equal(np.asarray(oc), wc)
 
     def test_full_merge_equivalence(self, rng):
-        # merge_compact_tables with the fused tail must produce the same
-        # table as the pure-jnp network on a bitonic input
+        # merge_compact_tables with the fused Mosaic tail (interpreter
+        # mode) must produce the same table as the pure-jnp network; the
+        # input is sized so 2 * half == 8 * 4096 and the fused branch
+        # genuinely runs
         import jax.numpy as jnp
         from kmers_tpu.ops.count import compact_counts, merge_compact_tables, sort_count
 
-        # two sorted compact tables of combined pow2 size >= one tile
         def mk(n):
-            hi = rng.integers(0, 40, n).astype(np.uint32)
+            hi = rng.integers(0, 5000, n).astype(np.uint32)
             lo = rng.integers(0, 1 << 12, n).astype(np.uint32)
             t = sort_count(jnp.asarray(hi), jnp.asarray(lo))
             uh, ul, c = compact_counts(t[0], t[1], t[2])
             return uh, ul, c
 
-        ah, al, ac = mk(512)
-        bh, bl, bc = mk(512)
+        ah, al, ac = mk(16384)
+        bh, bl, bc = mk(16384)
         ref = merge_compact_tables(ah, al, ac, bh, bl, bc, use_pallas=False)
-        # the fused path needs a TPU to compile; equivalence of the tail
-        # itself is covered above on the same operand layout
-        got = merge_compact_tables(ah, al, ac, bh, bl, bc)
+        got = merge_compact_tables(
+            ah, al, ac, bh, bl, bc, use_pallas=True, tail_interpret=True
+        )
         for x, y in zip(ref, got):
             assert np.array_equal(np.asarray(x), np.asarray(y))
 

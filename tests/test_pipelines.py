@@ -281,3 +281,38 @@ def test_streaming_level_stack_multiword_many_chunks():
     many = canonical_count_bytes(s, CountConfig(K=41, chunk_size=333))
     assert np.array_equal(one[0], many[0])
     assert np.array_equal(one[1], many[1])
+
+
+class TestSmallChunkStride:
+    def test_chunk_size_between_k_and_2k(self, rng):
+        # regression (round-4 review): the old stride clamp skipped
+        # window starts whenever K <= chunk_size < 2K-1
+        import collections
+
+        from kmers_tpu import UnambiguousDNAMers
+        from kmers_tpu.pipelines import CountConfig, canonical_count_bytes
+
+        s = "".join("ACGT"[i] for i in rng.integers(0, 4, 500))
+        K = 31
+        for chunk in (31, 40, 60, 61):
+            k, c = canonical_count_bytes(
+                s, CountConfig(K=K, chunk_size=chunk)
+            )
+            assert int(c.sum()) == 500 - K + 1, chunk
+        oracle = collections.Counter(
+            x.canonical().value for x, _ in UnambiguousDNAMers(K, s)
+        )
+        k, c = canonical_count_bytes(s, CountConfig(K=K, chunk_size=40))
+        assert dict(zip(k.tolist(), c.tolist())) == {
+            int(x): v for x, v in oracle.items()
+        }
+
+    def test_streaming_counter_small_chunks(self, rng):
+        from kmers_tpu.pipelines import CountConfig, StreamingCounter, canonical_count
+
+        s = "".join("ACGT"[i] for i in rng.integers(0, 4, 300))
+        sc = StreamingCounter(CountConfig(K=31, chunk_size=40))
+        sc.update(s)
+        k, c = sc.finalize()
+        k1, c1 = canonical_count(s, K=31)
+        assert np.array_equal(k, k1) and np.array_equal(c, c1)

@@ -99,7 +99,7 @@ def main():
             _pad_to_u32_view,
         )
 
-        L2 = 1 << 24
+        L2 = min(1 << 24, L)
         v, _ = _pad_to_u32_view(acgt[:L2])
         arg2 = jax.device_put(v)
         dt = _timeit(lambda: _chunk_count_u32(arg2, 31), reps=16)
@@ -145,8 +145,9 @@ def main():
         )
 
         mesh1 = data_mesh(1)
+        L2 = min(1 << 24, L)
         shards, shard = _shard_with_halo(
-            acgt[: 1 << 24].copy(), 1, 31, pad_byte=ord("N")
+            acgt[:L2].copy(), 1, 31, pad_byte=ord("N")
         )
         cap = int(np.ceil(shard * 2.0))
         V = _pick_v(shards.shape[1])
@@ -155,7 +156,7 @@ def main():
         sharding1 = NamedSharding(mesh1, P(mesh1.axis_names[0], None))
         arg_s = jax.device_put(view, sharding1)
         dt = _timeit(lambda: stepf(arg_s), reps=8)
-        emit("sharded_count_1dev", 1 << 24, dt, baseline=5.0e7)
+        emit("sharded_count_1dev", L2, dt, baseline=5.0e7)
 
     # ---- config 3: minimizer windows (+ spaced) ----
     from kmers_tpu.ops.minimizer import minimizers as _minimizers
