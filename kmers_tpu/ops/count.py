@@ -151,10 +151,12 @@ def compact_counts(uh, ul, cnt, use_pallas: bool | None = None):
     set), each pure slicing + selects.  ~log2(n) fused HBM passes
     (~70 ms at 2^26 on v5e) vs a full 3-operand sort (~370 ms measured).
 
-    ``use_pallas`` (None = auto on TPU backends): the first
-    log2(8*4096) = 15 passes fuse into one Mosaic round trip
-    (ops/pallas/merge_kernel.compact_tail_pallas), leaving only the
-    cross-tile passes in jnp.
+    ``use_pallas`` (default OFF): fusing the first 15 passes into one
+    Mosaic round trip (ops/pallas/merge_kernel.compact_tail_pallas) was
+    measured SLOWER than the jnp passes on v5e — Mosaic lane/sublane
+    rolls cost far more per pass than XLA's fused shifts (same finding
+    as the sort showdown, SORT_EXPERIMENTS_r04.json) — so the kernel is
+    kept as a measured experiment, not the default.
 
     Relative order of real rows is preserved (the table stays sorted);
     the tail becomes sentinel/zero.  Same static shape in and out.
@@ -168,7 +170,7 @@ def compact_counts(uh, ul, cnt, use_pallas: bool | None = None):
     xs = (uh, ul, cnt.astype(_I32))
     k = 0
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = False  # measured slower on TPU; see docstring
     _W = 4096
     if use_pallas and n % (8 * _W) == 0:
         from .pallas.merge_kernel import compact_tail_pallas
@@ -224,10 +226,11 @@ def merge_compact_tables(
     ``2 * next_pow2(max(len(a), len(b)))``; equal keys are summed by the
     weighted RLE and the table is front-packed by :func:`compact_counts`.
 
-    ``use_pallas`` (None = auto on TPU backends): fuse every
-    compare-exchange step whose stride fits one (8, 4096) tile into a
-    single Mosaic pass (ops/pallas/merge_kernel.py) — 15 of the log2(N)
-    HBM round trips collapse into one on large tables.
+    ``use_pallas`` (default OFF): fusing the in-tile compare-exchange
+    steps into one Mosaic pass (ops/pallas/merge_kernel.py) was measured
+    at 1881 us/stage on v5e vs ~103 us/stage for XLA's own fused passes
+    (SORT_EXPERIMENTS_r04.json) — the kernel is kept as a measured
+    experiment, not the default.
 
     Returns ``(uniq_hi, uniq_lo, counts, n_unique)``, compact and sorted.
     This is the streaming-accumulator merge: with capacity-sliced inputs
@@ -250,7 +253,7 @@ def merge_compact_tables(
     xl = jnp.concatenate([al, bl[::-1]])
     xc = jnp.concatenate([ac, bc[::-1]])
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = False  # measured slower on TPU; see docstring
     W = 4096
     fuse = use_pallas and (2 * half) % (8 * W) == 0
     m = half.bit_length()  # log2(2 * half)
