@@ -124,24 +124,47 @@ def _pad_to_u32_view(chunk: np.ndarray):
     return chunk.view("<u4"), pad
 
 
-@partial(jax.jit, static_argnames=("K", "checked"))
-def _chunk_count_u32(v_u32, K: int, checked: bool = False):
-    """TPU hot path: fused u32 front-end kernel -> sort -> fused RLE."""
-    from ..ops.count import SENTINEL
+@partial(jax.jit, static_argnames=("K",))
+def _fe_u32(v_u32, K: int):
+    """Dispatch 1 of the TPU hot path: the fused u32 Mosaic front-end."""
     from ..ops.pallas.window_kernel import canonical_windows_u32_pallas
 
-    hi, lo, n_bad, n_amb = canonical_windows_u32_pallas(v_u32, K, V=_V_U32)
-    # layout fence: without it XLA materializes the kernel outputs in a
-    # sort-hostile layout and sort.0 pays a ~4 ms relayout per 2^24 chunk
-    # (in-pipeline 34.9 ms vs 30.6 ms standalone, round-3 profile; the
-    # barrier recovers the same ~4.5% as a physical split dispatch)
-    hi, lo = jax.lax.optimization_barrier((hi, lo))
+    return canonical_windows_u32_pallas(v_u32, K, V=_V_U32)
+
+
+@partial(jax.jit, static_argnames=("K", "checked"))
+def _count_u32(hi, lo, K: int, checked: bool = False):
+    """Dispatch 2 of the TPU hot path: sort -> fused Pallas RLE."""
+    from ..ops.count import SENTINEL
+
     uh, ul, cnt, nu = sort_count(hi, lo, None, use_pallas=True, key_bits=2 * K)
     if not checked:
-        return uh, ul, cnt, nu, n_bad, n_amb
+        return uh, ul, cnt, nu
     sent = jnp.asarray(SENTINEL, jnp.uint32)
     n_valid = jnp.sum((hi != sent) | (lo != sent))
-    return uh, ul, cnt, nu, n_bad, n_amb, n_valid, jnp.sum(cnt)
+    return uh, ul, cnt, nu, n_valid, jnp.sum(cnt)
+
+
+def _chunk_count_u32(v_u32, K: int, checked: bool = False):
+    """TPU hot path: fused u32 front-end kernel | sort -> fused RLE.
+
+    Deliberately TWO dispatches, not one jit: when the Mosaic front-end
+    and the sort share a program, XLA materializes the kernel outputs in
+    a sort-hostile layout and ``sort.0`` pays a ~7.5 ms relayout per 2^24
+    chunk (35.0 ms fused vs 27.4 ms split, v5e round-5 profile; an
+    in-jit ``optimization_barrier`` does NOT recover it on a healthy
+    chip).  The physical split runs the whole chunk at 33.5 ms vs 40.9 ms
+    fused — the single change that lifted the flagship from 8.2x to 10x
+    baseline.  Dispatches are async, so the extra host round trip
+    overlaps device work in the streaming loop.
+    """
+    hi, lo, n_bad, n_amb = _fe_u32(v_u32, K)
+    out = _count_u32(hi, lo, K, checked=checked)
+    if not checked:
+        uh, ul, cnt, nu = out
+        return uh, ul, cnt, nu, n_bad, n_amb
+    uh, ul, cnt, nu, n_valid, n_cnt = out
+    return uh, ul, cnt, nu, n_bad, n_amb, n_valid, n_cnt
 
 
 @partial(jax.jit, static_argnames=("K", "use_pallas"))
