@@ -111,9 +111,6 @@ def _local_count_body(
         hi, lo, n_bad, _n_amb = canonical_windows_u32_pallas(
             data, K, V=V, interpret=interpret
         )
-        # layout fence between the Mosaic front-end and the sort (see
-        # pipelines/canonical_count._chunk_count_u32)
-        hi, lo = jax.lax.optimization_barrier((hi, lo))
         uh, ul, cnt, nu = sort_count(
             hi, lo, None, use_pallas=True, interpret=interpret,
             key_bits=2 * K,
@@ -125,6 +122,28 @@ def _local_count_body(
         valid = window_valid_mask(certain, K)
         uh, ul, cnt, nu = sort_count(hi, lo, valid, key_bits=2 * K)
     return uh[None], ul[None], cnt[None], nu[None], n_bad[None]
+
+
+def _fe_body(shard_view, K: int, interpret: bool, V: int):
+    """Per-device Mosaic front-end only (dispatch 1 of the split local
+    count — see ``pipelines.canonical_count._chunk_count_u32``: giving
+    the sort its own program drops sort.0 from 35.0 to 27.4 ms/2^24 on
+    v5e; an in-jit optimization_barrier does not)."""
+    from ..ops.pallas.window_kernel import canonical_windows_u32_pallas
+
+    hi, lo, n_bad, _n_amb = canonical_windows_u32_pallas(
+        shard_view[0], K, V=V, interpret=interpret
+    )
+    return hi[None], lo[None], n_bad[None]
+
+
+def _count_tail_body(hi, lo, K: int, interpret: bool):
+    """Per-device sort + fused RLE (dispatch 2 of the split local count)."""
+    uh, ul, cnt, nu = sort_count(
+        hi[0], lo[0], None, use_pallas=True, interpret=interpret,
+        key_bits=2 * K,
+    )
+    return uh[None], ul[None], cnt[None], nu[None]
 
 
 def _compact_body(uh, ul, cnt):
@@ -241,15 +260,55 @@ def exchange_and_merge(uh, ul, cnt, n_dev: int, cap: int, axis: str):
 
 
 @functools.lru_cache(maxsize=64)
+def _fe_window_step(mesh: Mesh, K: int, interpret: bool, V: int):
+    axis = mesh.axis_names[0]
+    mapped = jax.shard_map(
+        partial(_fe_body, K=K, interpret=interpret, V=V),
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(P(axis, None), P(axis, None), P(axis)),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _count_tail_only_step(mesh: Mesh, K: int, interpret: bool):
+    axis = mesh.axis_names[0]
+    mapped = jax.shard_map(
+        partial(_count_tail_body, K=K, interpret=interpret),
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        check_vma=False,  # fused Pallas RLE
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
 def _local_count_step(
     mesh: Mesh, K: int, use_pallas: bool, interpret: bool, V: int
 ):
+    if use_pallas:
+        # split dispatch (FE | sort+RLE): the Mosaic front-end and the
+        # sort must not share a program or sort.0 pays a ~7.5 ms/2^24
+        # relayout (see pipelines.canonical_count._chunk_count_u32)
+        fe = _fe_window_step(mesh, K, interpret, V)
+        tail = _count_tail_only_step(mesh, K, interpret)
+
+        def step(shard_view):
+            hi, lo, n_bad = fe(shard_view)
+            uh, ul, cnt, nu = tail(hi, lo)
+            return uh, ul, cnt, nu, n_bad
+
+        return step
     axis = mesh.axis_names[0]
     body = partial(
         _local_count_body,
         K=K,
         axis=axis,
-        use_pallas=use_pallas,
+        use_pallas=False,
         interpret=interpret,
         V=V,
     )
@@ -260,8 +319,6 @@ def _local_count_step(
         out_specs=(
             P(axis, None), P(axis, None), P(axis, None), P(axis), P(axis),
         ),
-        # pallas_call's out_shape carries no varying-mesh-axes annotation
-        check_vma=not use_pallas,
     )
     return jax.jit(mapped)
 
@@ -324,16 +381,50 @@ def sharded_count_step(
     interpret: bool = False,
     V: int = 4096,
 ):
-    """Single-dispatch SPMD counting step for a fixed geometry: local
-    count + hash-prefix exchange fused in one jit region.  Used for
-    inputs that fit one chunk per device (and by the scaling bench /
-    multichip dryrun); the streaming driver composes the split steps
-    instead.  Takes the (n_dev, row) device array — uint32 view rows
-    when ``use_pallas`` else uint8 byte rows — and returns
+    """SPMD counting step for a fixed geometry: local count +
+    hash-prefix exchange.  On the Mosaic path this is TWO dispatches
+    (FE | sort+RLE+exchange) so the sort gets its own program and skips
+    the ~7.5 ms/2^24 relayout; on the jnp path it is one jit region.
+    Used for inputs that fit one chunk per device (and by the scaling
+    bench / multichip dryrun); the streaming driver composes the split
+    steps instead.  Takes the (n_dev, row) device array — uint32 view
+    rows when ``use_pallas`` else uint8 byte rows — and returns
     ``(uh, ul, cnt, nu, n_bad, overflow)``.
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
+
+    if use_pallas:
+        # split dispatch (FE | sort+RLE+exchange): same relayout
+        # recovery as the single-chip flagship (_chunk_count_u32)
+        fe = _fe_window_step(mesh, K, interpret, V)
+
+        def tail_body(hi, lo, n_bad):
+            uh, ul, cnt, nu = _count_tail_body(hi, lo, K, interpret)
+            uh, ul, cnt, nu, overflow = _exchange_body(
+                uh, ul, cnt, K, n_dev, cap, axis
+            )
+            total_bad = jax.lax.psum(jnp.sum(n_bad), axis)
+            return uh, ul, cnt, nu, total_bad[None], overflow
+
+        tail = jax.jit(
+            jax.shard_map(
+                tail_body,
+                mesh=mesh,
+                in_specs=(P(axis, None), P(axis, None), P(axis)),
+                out_specs=(
+                    P(axis, None), P(axis, None), P(axis, None),
+                    P(axis), P(axis), P(axis),
+                ),
+                check_vma=False,  # fused Pallas RLE
+            )
+        )
+
+        def step(shard_view):
+            hi, lo, n_bad = fe(shard_view)
+            return tail(hi, lo, n_bad)
+
+        return step
 
     def body(shard_view):
         uh, ul, cnt, nu, n_bad = _local_count_body(
@@ -353,7 +444,6 @@ def sharded_count_step(
             P(axis, None), P(axis, None), P(axis, None),
             P(axis), P(axis), P(axis),
         ),
-        check_vma=not use_pallas,
     )
     return jax.jit(mapped)
 

@@ -384,21 +384,31 @@ def _canonical_count_multiword(data, config: CountConfig):
         return ulimbs, counts, nu, jnp.sum(invalid), jnp.sum(ambig)
 
     @partial(jax.jit, static_argnames=("K", "interpret"))
-    def chunk_fn_u32(v_u32, K, interpret=False):
-        """TPU hot path: fused multi-limb Mosaic front-end.  Sentinel
+    def fe_fn_u32(v_u32, K, interpret=False):
+        """Dispatch 1: fused multi-limb Mosaic front-end.  Sentinel
         (all-ones) rows mark invalid windows — safe because a canonical
         register is never all-ones (rc of all-ones is 0)."""
         from ..ops.pallas.multiword_kernel import canonical_windows_mw_pallas
 
-        limbs, n_bad, n_amb = canonical_windows_mw_pallas(
+        return canonical_windows_mw_pallas(
             v_u32, K, V=_V_U32, interpret=interpret
         )
+
+    @jax.jit
+    def count_fn_mw(limbs):
+        """Dispatch 2: multi-limb sort-count.  Split from the front-end
+        so the sort gets its own program (see _chunk_count_u32: the
+        Mosaic->sort relayout costs ~7.5 ms/2^24 when fused)."""
         ones = jnp.asarray(0xFFFFFFFF, jnp.uint32)
         is_sent = None
         for x in limbs:
             s = x == ones
             is_sent = s if is_sent is None else is_sent & s
-        ulimbs, counts, nu = sort_count_mw(limbs, ~is_sent)
+        return sort_count_mw(limbs, ~is_sent)
+
+    def chunk_fn_u32(v_u32, K, interpret=False):
+        limbs, n_bad, n_amb = fe_fn_u32(v_u32, K, interpret)
+        ulimbs, counts, nu = count_fn_mw(limbs)
         return ulimbs, counts, nu, n_bad, n_amb
 
     # stride = windows per chunk; the old max(..., K) clamp skipped
