@@ -29,15 +29,50 @@ _U32 = jnp.uint32
 _I32 = jnp.int32
 
 
-def _min_triple(a, b):
-    """Lexicographic min over ((key_hi, key_lo), pos) triples."""
-    (ah, al), ap = a
-    (bh, bl), bp = b
-    a_lt = (ah < bh) | ((ah == bh) & ((al < bl) | ((al == bl) & (ap < bp))))
-    return (
-        (jnp.where(a_lt, ah, bh), jnp.where(a_lt, al, bl)),
-        jnp.where(a_lt, ap, bp),
-    )
+def _sliding_min_with(key_hi, key_lo, extras, W: int):
+    """Doubling sliding-min over (key_hi, key_lo, pos) with ``extras``
+    (a tuple of same-length arrays) carried along with the winner.
+
+    Carrying payloads through the O(log W) elementwise-select rounds is
+    the TPU-shaped way to recover the minimizing *kmer values*: the
+    alternative — a ``kmer[argmin]`` gather at the end — is a random
+    gather, which TPUs serialize (measured ~3 s per 2^26 windows vs
+    ~10 ms of extra selects here).
+
+    Returns ``(min_hi, min_lo, argmin_pos, *min_extras)``.
+    """
+    n = key_hi.shape[0]
+    if W < 1:
+        raise ValueError("W must be >= 1")
+    m = n - W + 1
+    if m <= 0:
+        z = jnp.zeros(0, _U32)
+        return (z, z, jnp.zeros(0, _I32)) + tuple(
+            jnp.zeros(0, x.dtype) for x in extras
+        )
+    pos = jnp.arange(n, dtype=_I32)
+    cur = (key_hi, key_lo, pos) + tuple(extras)
+
+    def comb(a, b):
+        ah, al, ap = a[0], a[1], a[2]
+        bh, bl, bp = b[0], b[1], b[2]
+        a_lt = (ah < bh) | (
+            (ah == bh) & ((al < bl) | ((al == bl) & (ap < bp)))
+        )
+        return tuple(jnp.where(a_lt, x, y) for x, y in zip(a, b))
+
+    # doubling: after round t, cur[i] = min over [i, i + 2^t)
+    span = 1
+    while span * 2 <= W:
+        shifted = tuple(x[span:] for x in cur)
+        head = tuple(x[: x.shape[0] - span] for x in cur)
+        cur = comb(head, shifted)
+        span *= 2
+    # combine two overlapping spans of length `span` to cover W
+    off = W - span
+    a = tuple(x[:m] for x in cur)
+    b = tuple(x[off : off + m] for x in cur)
+    return comb(a, b)
 
 
 @partial(jax.jit, static_argnames=("W",))
@@ -47,27 +82,7 @@ def sliding_min_u64(key_hi, key_lo, W: int):
 
     Returns ``(min_hi, min_lo, argmin_pos)``.
     """
-    n = key_hi.shape[0]
-    if W < 1:
-        raise ValueError("W must be >= 1")
-    m = n - W + 1
-    if m <= 0:
-        z = jnp.zeros(0, _U32)
-        return z, z, jnp.zeros(0, _I32)
-    pos = jnp.arange(n, dtype=_I32)
-    cur = ((key_hi, key_lo), pos)
-    # doubling: after round t, cur[i] = min over [i, i + 2^t)
-    span = 1
-    while span * 2 <= W:
-        shifted = jax.tree_util.tree_map(lambda x: x[span:], cur)
-        head = jax.tree_util.tree_map(lambda x: x[: x.shape[0] - span], cur)
-        cur = _min_triple(head, shifted)
-        span *= 2
-    # combine two overlapping spans of length `span` to cover W
-    off = W - span
-    a = jax.tree_util.tree_map(lambda x: x[:m], cur)
-    b = jax.tree_util.tree_map(lambda x: x[off : off + m], cur)
-    (mh, ml), mp = _min_triple(a, b)
+    mh, ml, mp = _sliding_min_with(key_hi, key_lo, (), W)
     return mh, ml, mp
 
 
@@ -103,8 +118,10 @@ def minimizers(kmer_hi, kmer_lo, W: int):
     compare with the previous element on device).
     """
     hh, hl = fx_hash_u64(kmer_hi, kmer_lo)
-    mh, ml, mp = sliding_min_u64(hh, hl, W)
-    return kmer_hi[mp], kmer_lo[mp], mp
+    _mh, _ml, mp, kh, kl = _sliding_min_with(
+        hh, hl, (kmer_hi, kmer_lo), W
+    )
+    return kh, kl, mp
 
 
 @partial(jax.jit, static_argnames=("W",))
@@ -123,8 +140,9 @@ def minimizers_masked(kmer_hi, kmer_lo, valid, W: int):
     hh, hl = fx_hash_u64(kmer_hi, kmer_lo)
     hh = jnp.where(valid, hh, sent)
     hl = jnp.where(valid, hl, sent)
-    mh, ml, mp = sliding_min_u64(hh, hl, W)
+    mh, ml, mp, kh, kl = _sliding_min_with(
+        hh, hl, (kmer_hi, kmer_lo), W
+    )
     empty = (mh == sent) & (ml == sent)
     mp = jnp.where(empty, -1, mp)
-    safe = jnp.maximum(mp, 0)
-    return kmer_hi[safe], kmer_lo[safe], mp
+    return kh, kl, mp

