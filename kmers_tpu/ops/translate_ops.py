@@ -28,19 +28,32 @@ __all__ = [
 _U32 = jnp.uint32
 
 
-@jax.jit
-def _translate_codes(codes, tbl):
-    n_aa = codes.shape[0] // 3
-    c = codes[: n_aa * 3].reshape(n_aa, 3)
-    codons = (c[:, 0] << 4) | (c[:, 1] << 2) | c[:, 2]
-    return jnp.take(tbl, codons.astype(jnp.int32), axis=0).astype(_U32)
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _translator(tbl_bytes: bytes):
+    from .encode import lookup_bytes
+
+    tbl_np = np.frombuffer(tbl_bytes, np.uint8)
+
+    @jax.jit
+    def f(codes):
+        n_aa = codes.shape[0] // 3
+        c = codes[: n_aa * 3].reshape(n_aa, 3)
+        codons = (c[:, 0] << 4) | (c[:, 1] << 2) | c[:, 2]
+        # gather-free 64-entry lookup (random gathers serialize on TPU:
+        # the jnp.take form measured 42 ms per 5.6M codons on v5e)
+        return lookup_bytes(tbl_np, codons).astype(_U32)
+
+    return f
 
 
 def translate_codes(codes, code: GeneticCode = standard_genetic_code):
     """2-bit nucleotide codes -> 8-bit amino-acid codes (frame 0,
     truncating a trailing partial codon)."""
-    tbl = jnp.asarray(np.asarray(code.tbl), jnp.uint8)
-    return _translate_codes(jnp.asarray(codes, _U32), tbl)
+    f = _translator(bytes(np.asarray(code.tbl, np.uint8).tobytes()))
+    return f(jnp.asarray(codes, _U32))
 
 
 def six_frame_codes(codes, code: GeneticCode = standard_genetic_code):

@@ -128,19 +128,25 @@ def _fe_body(shard_view, K: int, interpret: bool, V: int):
     """Per-device Mosaic front-end only (dispatch 1 of the split local
     count — see ``pipelines.canonical_count._chunk_count_u32``: giving
     the sort its own program drops sort.0 from 35.0 to 27.4 ms/2^24 on
-    v5e; an in-jit optimization_barrier does not)."""
+    v5e; an in-jit optimization_barrier does not).
+
+    The window streams are returned 1-D (out_spec ``P(axis)``), NOT as
+    ``(1, n)`` rows: a (1, n) uint32 crossing a dispatch boundary gets
+    the rank-2 (8, 128) tiled layout with 7/8 sublane padding, and the
+    next program pays a full relayout to read it (measured +20 ms/2^24
+    on the sharded sort)."""
     from ..ops.pallas.window_kernel import canonical_windows_u32_pallas
 
     hi, lo, n_bad, _n_amb = canonical_windows_u32_pallas(
         shard_view[0], K, V=V, interpret=interpret
     )
-    return hi[None], lo[None], n_bad[None]
+    return hi, lo, n_bad[None]
 
 
 def _count_tail_body(hi, lo, K: int, interpret: bool):
     """Per-device sort + fused RLE (dispatch 2 of the split local count)."""
     uh, ul, cnt, nu = sort_count(
-        hi[0], lo[0], None, use_pallas=True, interpret=interpret,
+        hi, lo, None, use_pallas=True, interpret=interpret,
         key_bits=2 * K,
     )
     return uh[None], ul[None], cnt[None], nu[None]
@@ -266,7 +272,7 @@ def _fe_window_step(mesh: Mesh, K: int, interpret: bool, V: int):
         partial(_fe_body, K=K, interpret=interpret, V=V),
         mesh=mesh,
         in_specs=P(axis, None),
-        out_specs=(P(axis, None), P(axis, None), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
         # pallas_call's out_shape carries no varying-mesh-axes annotation
         check_vma=False,
     )
@@ -279,7 +285,7 @@ def _count_tail_only_step(mesh: Mesh, K: int, interpret: bool):
     mapped = jax.shard_map(
         partial(_count_tail_body, K=K, interpret=interpret),
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None)),
+        in_specs=(P(axis), P(axis)),
         out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
         check_vma=False,  # fused Pallas RLE
     )
@@ -411,7 +417,7 @@ def sharded_count_step(
             jax.shard_map(
                 tail_body,
                 mesh=mesh,
-                in_specs=(P(axis, None), P(axis, None), P(axis)),
+                in_specs=(P(axis), P(axis), P(axis)),
                 out_specs=(
                     P(axis, None), P(axis, None), P(axis, None),
                     P(axis), P(axis), P(axis),

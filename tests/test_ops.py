@@ -124,6 +124,34 @@ class TestClassify:
         assert list(np.asarray(valid)) == [True] * 4 + [False]
         assert list(np.asarray(enc)[:4]) == [0x00, 0x18, 0x1A, 0x1B]
 
+    def test_encode_table_matches_ascii_table_all_bytes(self):
+        # the gather-free letter-mask form must be bit-identical to
+        # indexing the 256-entry ASCII table, for every byte value
+        from kmers_tpu.alphabets import RNAAlphabet2, RNAAlphabet4
+        from kmers_tpu.ops.encode import _TABLES
+
+        b = np.arange(256, dtype=np.uint8)
+        for cls in (
+            DNAAlphabet2,
+            RNAAlphabet2,
+            DNAAlphabet4,
+            RNAAlphabet4,
+            AminoAcidAlphabet,
+        ):
+            tbl = np.asarray(_TABLES[cls], np.uint8)
+            enc, valid = encode_table(b, cls)
+            assert np.array_equal(np.asarray(enc), tbl.astype(np.uint32)), cls
+            assert np.array_equal(np.asarray(valid), tbl != 0xFF), cls
+
+    def test_lookup_bytes_vs_numpy_indexing(self, rng):
+        from kmers_tpu.ops.encode import lookup_bytes
+
+        for n in (4, 16, 28, 64, 256):
+            tbl = rng.integers(0, 256, n).astype(np.uint8)
+            idx = rng.integers(0, n, 5000)
+            got = np.asarray(lookup_bytes(tbl, idx))
+            assert np.array_equal(got, tbl[idx].astype(np.uint32)), n
+
 
 class TestWindows:
     @pytest.mark.parametrize("K", [1, 5, 16, 17, 31, 32])

@@ -167,22 +167,21 @@ def main():
         emit("sharded_count_1dev", L2, dt, baseline=5.0e7)
 
     # ---- config 3: minimizer windows (+ spaced) ----
+    # both use pipelines._extract: the Mosaic window kernel on TPU (the
+    # jnp window builder measured 344 ms per 2^26 vs 6 ms for the kernel)
     from kmers_tpu.ops.minimizer import minimizers as _minimizers
+    from kmers_tpu.pipelines.extract import _extract
 
     @jax.jit
     def minz(b):
-        codes, certain, _ = classify_2bit(b)
-        from kmers_tpu.ops.windows import canonical_windows_from_codes
-
-        hi, lo = canonical_windows_from_codes(codes, 15)
+        hi, lo, valid, n_inv, n_amb = _extract(b, 15, True, on_tpu)
         return _minimizers(hi, lo, 10)
 
     emit("minimizer_select_w10_k15", L, _timeit(minz, data))
 
     @jax.jit
     def spaced(b):
-        codes, certain, _ = classify_2bit(b)
-        hi, lo = windows_from_codes(codes, 31)
+        hi, lo, valid, n_inv, n_amb = _extract(b, 31, False, on_tpu)
         return hi[::7], lo[::7]
 
     emit("spaced_31mer_step7", L, _timeit(spaced, data))
