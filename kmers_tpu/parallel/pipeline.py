@@ -607,12 +607,15 @@ def _streamed_sharded_count(
     n_dev = mesh.devices.size
     K = config.K
     chunk = config.chunk_size
-    # each chunk row carries chunk + K-1 bytes and therefore exactly
-    # `chunk` window starts; consecutive rows overlap by K-1 bytes so no
-    # window is lost or duplicated at a chunk boundary (the same carry
-    # idea as the single-chip streaming path, at the chunk granularity)
-    step_len = chunk
-    row_len = chunk + K - 1  # uniform chunk rows ('N'-padded at the tail)
+    # each chunk row carries exactly `chunk` bytes; consecutive rows
+    # overlap by K-1 bytes (stride chunk-(K-1)) so no window is lost or
+    # duplicated at a chunk boundary — the same geometry as the
+    # single-chip streaming path.  Keeping the row at chunk_size (a
+    # power of two) instead of chunk_size + K-1 matters on TPU: XLA's
+    # sort pads to the next power of two, so a K-1-byte overhang doubles
+    # the per-chunk sort cost (measured 27.4 -> 47 ms/2^24 on v5e).
+    step_len = chunk - (K - 1)
+    row_len = chunk  # uniform chunk rows ('N'-padded at the tail)
     V = _pick_v(row_len) if use_pallas else 4096
 
     count = _local_count_step(

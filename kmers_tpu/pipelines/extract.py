@@ -88,12 +88,16 @@ def extract_kmers(data, K: int = 31, canonical: bool = False, skip_ambiguous: bo
 def spaced_kmers(data, K: int, J: int, canonical: bool = False):
     """K-mers sampled at stride J (SpacedKmers); errors on any ambiguity
     inside sampled windows, like the scalar iterator."""
+    from ..ops.stride import stride_select
+
     arr = _prep(data)
     if arr.size < K:
         return np.zeros(0, np.uint64)
     hi, lo, valid, n_inv, _ = _extract(jnp.asarray(arr), K, canonical, _on_tpu())
-    vals = u64ops.to_numpy((hi[::J], lo[::J]))
-    mask = np.asarray(valid)[::J]
+    # stride via the MXU selection matmul: x[::J] as a strided slice is
+    # element-serialized on TPU (245 ms per 2^26 vs ~3 ms — ops/stride.py)
+    vals = u64ops.to_numpy((stride_select(hi, J), stride_select(lo, J)))
+    mask = np.asarray(stride_select(valid.astype(jnp.uint32), J)) != 0
     if not mask.all():
         raise EncodeError(DNAAlphabet2(), "<ambiguous base in sampled window>")
     if int(n_inv):

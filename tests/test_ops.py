@@ -152,6 +152,16 @@ class TestClassify:
             got = np.asarray(lookup_bytes(tbl, idx))
             assert np.array_equal(got, tbl[idx].astype(np.uint32)), n
 
+    def test_stride_select_vs_slicing(self, rng):
+        from kmers_tpu.ops.stride import stride_select
+
+        for n in (5, 100, 4096, 200000):
+            x = rng.integers(0, 1 << 32, n).astype(np.uint32)
+            for s in (1, 2, 3, 7, 16):
+                for off in (0, 1, 2):
+                    got = np.asarray(stride_select(x, s, off))
+                    assert np.array_equal(got, x[off::s]), (n, s, off)
+
 
 class TestWindows:
     @pytest.mark.parametrize("K", [1, 5, 16, 17, 31, 32])

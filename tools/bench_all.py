@@ -179,10 +179,12 @@ def main():
 
     emit("minimizer_select_w10_k15", L, _timeit(minz, data))
 
+    from kmers_tpu.ops.stride import stride_select
+
     @jax.jit
     def spaced(b):
         hi, lo, valid, n_inv, n_amb = _extract(b, 31, False, on_tpu)
-        return hi[::7], lo[::7]
+        return stride_select(hi, 7), stride_select(lo, 7)
 
     emit("spaced_31mer_step7", L, _timeit(spaced, data))
 
