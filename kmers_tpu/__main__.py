@@ -146,6 +146,40 @@ def cmd_sketch(args):
         print(f"{int(h):016x}")
 
 
+def cmd_dist(args):
+    """Mash-style distance between sketches: each input is either a
+    sketch file written by ``sketch`` (one 16-hex-digit hash per line)
+    or a FASTA/FASTQ file to sketch on the fly."""
+    import numpy as np
+
+    from .pipelines.canonical_count import join_records_with_n
+    from .pipelines.minhash import jaccard, minhash_sketch
+
+    def load_sketch(path):
+        with open(path, "rb") as f:
+            head = f.read(1)
+        if head in (b">", b"@"):
+            seq, off = _load(path)
+            return minhash_sketch(
+                join_records_with_n(seq, off).tobytes(), K=args.k,
+                s=args.size,
+            )
+        with open(path) as f:
+            return np.array(
+                [int(line.strip(), 16) for line in f if line.strip()],
+                dtype=np.uint64,
+            )
+
+    a = load_sketch(args.a)
+    b = load_sketch(args.b)
+    j = jaccard(a, b)
+    import math
+
+    # Mash distance (Ondov et al. 2016): d = -ln(2j/(1+j)) / k
+    d = 1.0 if j <= 0 else min(-math.log(2 * j / (1 + j)) / args.k, 1.0)
+    print(json.dumps({"jaccard": round(j, 6), "mash_distance": round(d, 6)}))
+
+
 def cmd_sixframe(args):
     from .parallel import SixFrameCountConfig, sharded_sixframe_aa_count
     from .pipelines.canonical_count import join_records_with_n
@@ -235,6 +269,15 @@ def main(argv=None):
     s.add_argument("-k", type=int, default=16)
     s.add_argument("-s", "--size", type=int, default=1000)
     s.set_defaults(fn=cmd_sketch)
+
+    d = sub.add_parser(
+        "dist", help="Mash-style distance between two sketches/FASTAs"
+    )
+    d.add_argument("a")
+    d.add_argument("b")
+    d.add_argument("-k", type=int, default=16)
+    d.add_argument("-s", "--size", type=int, default=1000)
+    d.set_defaults(fn=cmd_dist)
 
     f = sub.add_parser("sixframe", help="six-frame AA kmer counting")
     f.add_argument("input")

@@ -61,6 +61,18 @@ def test_sketch(fasta, capsys):
     assert all(len(l) == 16 for l in lines)
 
 
+def test_dist(fasta, tmp_path, capsys):
+    run_cli("sketch", fasta, "-k", "11", "-s", "50")
+    sk = capsys.readouterr().out
+    p = tmp_path / "a.sketch"
+    p.write_text(sk)
+    # sketch file vs the FASTA it came from: identical sketches, j = 1
+    run_cli("dist", p, fasta, "-k", "11", "-s", "50")
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["jaccard"] == 1.0
+    assert out["mash_distance"] == 0.0
+
+
 def test_sixframe(fasta, capsys):
     run_cli("sixframe", fasta, "-k", "4")
     stats = json.loads(capsys.readouterr().out.strip())
