@@ -257,6 +257,7 @@ def merge_compact_tables(
     W = 4096
     fuse = use_pallas and (2 * half) % (8 * W) == 0
     m = half.bit_length()  # log2(2 * half)
+    n2 = 2 * half
     for k in range(m, 0, -1):
         d = 1 << (k - 1)
         if fuse and d <= 4 * W:
@@ -266,22 +267,48 @@ def merge_compact_tables(
                 xh, xl, xc, W=W, interpret=tail_interpret
             )
             break
-        h2 = xh.reshape(-1, 2, d)
-        l2 = xl.reshape(-1, 2, d)
-        c2 = xc.reshape(-1, 2, d)
-        th, bhh = h2[:, 0], h2[:, 1]
-        tl, bll = l2[:, 0], l2[:, 1]
-        tc, bcc = c2[:, 0], c2[:, 1]
-        le = (th < bhh) | ((th == bhh) & (tl <= bll))
-        xh = jnp.stack(
-            [jnp.where(le, th, bhh), jnp.where(le, bhh, th)], 1
-        ).reshape(-1)
-        xl = jnp.stack(
-            [jnp.where(le, tl, bll), jnp.where(le, bll, tl)], 1
-        ).reshape(-1)
-        xc = jnp.stack(
-            [jnp.where(le, tc, bcc), jnp.where(le, bcc, tc)], 1
-        ).reshape(-1)
+        if d >= 128:
+            # reshape form: minor dim d >= one lane tile, layout stays
+            # dense
+            h2 = xh.reshape(-1, 2, d)
+            l2 = xl.reshape(-1, 2, d)
+            c2 = xc.reshape(-1, 2, d)
+            th, bhh = h2[:, 0], h2[:, 1]
+            tl, bll = l2[:, 0], l2[:, 1]
+            tc, bcc = c2[:, 0], c2[:, 1]
+            le = (th < bhh) | ((th == bhh) & (tl <= bll))
+            xh = jnp.stack(
+                [jnp.where(le, th, bhh), jnp.where(le, bhh, th)], 1
+            ).reshape(-1)
+            xl = jnp.stack(
+                [jnp.where(le, tl, bll), jnp.where(le, bll, tl)], 1
+            ).reshape(-1)
+            xc = jnp.stack(
+                [jnp.where(le, tc, bcc), jnp.where(le, bcc, tc)], 1
+            ).reshape(-1)
+            continue
+        # d < 128: a (m, 2, d) reshape would tile-pad the minor dim up
+        # to 32-128x (measured 22 GB HBM for a 2^23-row merge — OOM at
+        # genome scale), so compute the partner with contiguous
+        # concat-shifts and an iota block mask instead
+        def shl(a):
+            return jnp.concatenate([a[d:], jnp.zeros(d, a.dtype)])
+
+        def shr(a):
+            return jnp.concatenate([jnp.zeros(d, a.dtype), a[:-d]])
+
+        first = ((jax.lax.iota(_I32, n2) >> (k - 1)) & 1) == 0
+        ph = jnp.where(first, shl(xh), shr(xh))
+        plo = jnp.where(first, shl(xl), shr(xl))
+        pc = jnp.where(first, shl(xc), shr(xc))
+        lt = (xh < ph) | ((xh == ph) & (xl < plo))
+        le = lt | ((xh == ph) & (xl == plo))
+        # first keeps min, second keeps max; on a key tie both keep
+        # their OWN row (counts may differ — dropping one would lose it)
+        keep = jnp.where(first, le, ~lt)
+        xh = jnp.where(keep, xh, ph)
+        xl = jnp.where(keep, xl, plo)
+        xc = jnp.where(keep, xc, pc)
     uh, ul, cnt, nu = _run_length_encode(xh, xl, xc)
     uh, ul, cnt = compact_counts(uh, ul, cnt)
     return uh, ul, cnt, nu

@@ -61,9 +61,15 @@ def stride_select(x, s: int, offset: int = 0, n_out: int | None = None):
     sel = np.zeros((group, _LANES), np.float32)
     sel[np.arange(_LANES) * s, np.arange(_LANES)] = 1.0
     selj = jnp.asarray(sel)
-    hi = jnp.dot((x2 >> 16).astype(jnp.float32), selj,
-                 preferred_element_type=jnp.float32)
-    lo = jnp.dot((x2 & 0xFFFF).astype(jnp.float32), selj,
-                 preferred_element_type=jnp.float32)
-    out = (hi.astype(_U32) << 16) | lo.astype(_U32)
+    # byte limbs: TPU lowers DEFAULT-precision f32 dots through bf16
+    # passes, which round 16-bit limbs (verified wrong on v5e); 8-bit
+    # limb values (<= 255) are bf16-exact, and each output sums exactly
+    # one nonzero product, so four DEFAULT dots are bit-exact and
+    # cheaper than HIGHEST-precision (6-pass) 16-bit dots.
+    out = None
+    for b in range(4):
+        limb = ((x2 >> (8 * b)) & 0xFF).astype(jnp.float32)
+        d = jnp.dot(limb, selj, preferred_element_type=jnp.float32)
+        part = d.astype(_U32) << (8 * b)
+        out = part if out is None else out | part
     return out.reshape(m * _LANES)[:n_out]
