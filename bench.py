@@ -25,7 +25,7 @@ def main():
     rng = np.random.default_rng(0)
     data = np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, L)]
 
-    use_pallas = jax.default_backend() != "cpu"
+    use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         # TPU hot path: fused u32 Mosaic front-end (the pipeline's
         # default) — the '<u4' view is a zero-copy host-side prep

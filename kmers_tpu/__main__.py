@@ -142,14 +142,22 @@ def cmd_sketch(args):
     sk = minhash_sketch(
         join_records_with_n(seq, off).tobytes(), K=args.k, s=args.size
     )
+    # header records the sketch parameters so `dist` can validate -k
+    print(f"#kmers_tpu sketch k={args.k} s={args.size}")
     for h in sk:
         print(f"{int(h):016x}")
 
 
 def cmd_dist(args):
     """Mash-style distance between sketches: each input is either a
-    sketch file written by ``sketch`` (one 16-hex-digit hash per line)
-    or a FASTA/FASTQ file to sketch on the fly."""
+    sketch file written by ``sketch`` (header line ``#kmers_tpu sketch
+    k=.. s=..`` + one 16-hex-digit hash per line) or a FASTA/FASTQ file
+    to sketch on the fly.  A sketch-file header with a k different from
+    ``-k`` is an error (Mash distance divides by k); headerless files
+    are accepted with a warning.  Hashes are deduplicated on load (a
+    sketch is a set; duplicates would corrupt the jaccard estimate)."""
+    import sys
+
     import numpy as np
 
     from .pipelines.canonical_count import join_records_with_n
@@ -164,11 +172,32 @@ def cmd_dist(args):
                 join_records_with_n(seq, off).tobytes(), K=args.k,
                 s=args.size,
             )
+        hashes, saw_header = [], False
         with open(path) as f:
-            return np.array(
-                [int(line.strip(), 16) for line in f if line.strip()],
-                dtype=np.uint64,
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith("#"):
+                    if line.startswith("#kmers_tpu sketch"):
+                        saw_header = True
+                        meta = dict(
+                            kv.split("=") for kv in line.split()[2:] if "=" in kv
+                        )
+                        k_file = int(meta.get("k", args.k))
+                        if k_file != args.k:
+                            raise SystemExit(
+                                f"{path}: sketch was built with k={k_file}, "
+                                f"but -k is {args.k}"
+                            )
+                    continue
+                hashes.append(int(line, 16))
+        if not saw_header:
+            print(
+                f"warning: {path} has no sketch header; assuming k={args.k}",
+                file=sys.stderr,
             )
+        return np.unique(np.array(hashes, dtype=np.uint64))
 
     a = load_sketch(args.a)
     b = load_sketch(args.b)
@@ -204,7 +233,7 @@ def cmd_bench(args):
     data = jax.device_put(
         np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, L)]
     )
-    use_pallas = jax.default_backend() != "cpu"
+    use_pallas = jax.default_backend() == "tpu"
     out = _chunk_count(data, K, use_pallas)
     int(np.asarray(out[3]))
     t0 = time.perf_counter()

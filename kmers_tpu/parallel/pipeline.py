@@ -92,6 +92,7 @@ def _local_count_body(
     use_pallas: bool,
     interpret: bool,
     V: int,
+    checked: bool = False,
 ):
     """Per-device local chunk count (runs under shard_map).
 
@@ -115,13 +116,26 @@ def _local_count_body(
             hi, lo, None, use_pallas=True, interpret=interpret,
             key_bits=2 * K,
         )
+        if checked:
+            from ..ops.count import SENTINEL
+
+            sent = jnp.asarray(SENTINEL, jnp.uint32)
+            n_valid = jnp.sum((hi != sent) | (lo != sent), dtype=_I32)
     else:
         codes, certain, ambig = classify_2bit(data)
         n_bad = jnp.sum(~(certain | ambig), dtype=_I32)
         hi, lo = canonical_windows_from_codes(codes, K)
         valid = window_valid_mask(certain, K)
         uh, ul, cnt, nu = sort_count(hi, lo, valid, key_bits=2 * K)
-    return uh[None], ul[None], cnt[None], nu[None], n_bad[None]
+        if checked:
+            n_valid = jnp.sum(valid, dtype=_I32)
+    if not checked:
+        return uh[None], ul[None], cnt[None], nu[None], n_bad[None]
+    n_cnt = jnp.sum(cnt, dtype=_I32)
+    return (
+        uh[None], ul[None], cnt[None], nu[None], n_bad[None],
+        n_valid[None], n_cnt[None],
+    )
 
 
 def _fe_body(shard_view, K: int, interpret: bool, V: int):
@@ -143,13 +157,24 @@ def _fe_body(shard_view, K: int, interpret: bool, V: int):
     return hi, lo, n_bad[None]
 
 
-def _count_tail_body(hi, lo, K: int, interpret: bool):
-    """Per-device sort + fused RLE (dispatch 2 of the split local count)."""
+def _count_tail_body(hi, lo, K: int, interpret: bool, checked: bool = False):
+    """Per-device sort + fused RLE (dispatch 2 of the split local count).
+
+    ``checked``: also return this device's valid-window and counted
+    tallies for the count-conservation assert (checked mode reaching the
+    SPMD plane — the kernel-level sanitizer of SURVEY.md §5)."""
     uh, ul, cnt, nu = sort_count(
         hi, lo, None, use_pallas=True, interpret=interpret,
         key_bits=2 * K,
     )
-    return uh[None], ul[None], cnt[None], nu[None]
+    if not checked:
+        return uh[None], ul[None], cnt[None], nu[None]
+    from ..ops.count import SENTINEL
+
+    sent = jnp.asarray(SENTINEL, jnp.uint32)
+    n_valid = jnp.sum((hi != sent) | (lo != sent), dtype=_I32)
+    n_cnt = jnp.sum(cnt, dtype=_I32)
+    return uh[None], ul[None], cnt[None], nu[None], n_valid[None], n_cnt[None]
 
 
 def _compact_body(uh, ul, cnt):
@@ -280,13 +305,17 @@ def _fe_window_step(mesh: Mesh, K: int, interpret: bool, V: int):
 
 
 @functools.lru_cache(maxsize=64)
-def _count_tail_only_step(mesh: Mesh, K: int, interpret: bool):
+def _count_tail_only_step(mesh: Mesh, K: int, interpret: bool, checked: bool = False):
     axis = mesh.axis_names[0]
+    spec = P(axis, None)
+    outs = (spec, spec, spec, P(axis))
+    if checked:
+        outs = outs + (P(axis), P(axis))
     mapped = jax.shard_map(
-        partial(_count_tail_body, K=K, interpret=interpret),
+        partial(_count_tail_body, K=K, interpret=interpret, checked=checked),
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
-        out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        out_specs=outs,
         check_vma=False,  # fused Pallas RLE
     )
     return jax.jit(mapped)
@@ -294,19 +323,19 @@ def _count_tail_only_step(mesh: Mesh, K: int, interpret: bool):
 
 @functools.lru_cache(maxsize=64)
 def _local_count_step(
-    mesh: Mesh, K: int, use_pallas: bool, interpret: bool, V: int
+    mesh: Mesh, K: int, use_pallas: bool, interpret: bool, V: int,
+    checked: bool = False,
 ):
     if use_pallas:
         # split dispatch (FE | sort+RLE): the Mosaic front-end and the
         # sort must not share a program or sort.0 pays a ~7.5 ms/2^24
         # relayout (see pipelines.canonical_count._chunk_count_u32)
         fe = _fe_window_step(mesh, K, interpret, V)
-        tail = _count_tail_only_step(mesh, K, interpret)
+        tail = _count_tail_only_step(mesh, K, interpret, checked)
 
         def step(shard_view):
             hi, lo, n_bad = fe(shard_view)
-            uh, ul, cnt, nu = tail(hi, lo)
-            return uh, ul, cnt, nu, n_bad
+            return (*tail(hi, lo), n_bad)
 
         return step
     axis = mesh.axis_names[0]
@@ -317,16 +346,29 @@ def _local_count_step(
         use_pallas=False,
         interpret=interpret,
         V=V,
+        checked=checked,
     )
+    spec = P(axis, None)
+    outs = (spec, spec, spec, P(axis), P(axis))
+    if checked:
+        outs = outs + (P(axis), P(axis))
     mapped = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=P(axis, None),
-        out_specs=(
-            P(axis, None), P(axis, None), P(axis, None), P(axis), P(axis),
-        ),
+        out_specs=outs,
     )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+    if not checked:
+        return jitted
+
+    # normalize output order to match the pallas split step:
+    # (uh, ul, cnt, nu, n_valid, n_cnt, n_bad)
+    def step(shard_view):
+        uh, ul, cnt, nu, n_bad, n_valid, n_cnt = jitted(shard_view)
+        return uh, ul, cnt, nu, n_valid, n_cnt, n_bad
+
+    return step
 
 
 @functools.lru_cache(maxsize=64)
@@ -386,6 +428,7 @@ def sharded_count_step(
     use_pallas: bool = False,
     interpret: bool = False,
     V: int = 4096,
+    checked: bool = False,
 ):
     """SPMD counting step for a fixed geometry: local count +
     hash-prefix exchange.  On the Mosaic path this is TWO dispatches
@@ -406,22 +449,30 @@ def sharded_count_step(
         fe = _fe_window_step(mesh, K, interpret, V)
 
         def tail_body(hi, lo, n_bad):
-            uh, ul, cnt, nu = _count_tail_body(hi, lo, K, interpret)
+            out = _count_tail_body(hi, lo, K, interpret, checked)
+            uh, ul, cnt, nu = out[:4]
             uh, ul, cnt, nu, overflow = _exchange_body(
                 uh, ul, cnt, K, n_dev, cap, axis
             )
             total_bad = jax.lax.psum(jnp.sum(n_bad), axis)
-            return uh, ul, cnt, nu, total_bad[None], overflow
+            res = (uh, ul, cnt, nu, total_bad[None], overflow)
+            if checked:
+                # conservation tallies summed over the mesh
+                n_valid = jax.lax.psum(out[4][0], axis)
+                n_cnt = jax.lax.psum(out[5][0], axis)
+                res = res + (n_valid[None], n_cnt[None])
+            return res
 
+        spec = P(axis, None)
+        outs = (spec, spec, spec, P(axis), P(axis), P(axis))
+        if checked:
+            outs = outs + (P(axis), P(axis))
         tail = jax.jit(
             jax.shard_map(
                 tail_body,
                 mesh=mesh,
                 in_specs=(P(axis), P(axis), P(axis)),
-                out_specs=(
-                    P(axis, None), P(axis, None), P(axis, None),
-                    P(axis), P(axis), P(axis),
-                ),
+                out_specs=outs,
                 check_vma=False,  # fused Pallas RLE
             )
         )
@@ -433,23 +484,30 @@ def sharded_count_step(
         return step
 
     def body(shard_view):
-        uh, ul, cnt, nu, n_bad = _local_count_body(
-            shard_view, K, axis, use_pallas, interpret, V
+        out = _local_count_body(
+            shard_view, K, axis, use_pallas, interpret, V, checked
         )
+        uh, ul, cnt, nu, n_bad = out[:5]
         uh, ul, cnt, nu, overflow = _exchange_body(
             uh, ul, cnt, K, n_dev, cap, axis
         )
         total_bad = jax.lax.psum(jnp.sum(n_bad), axis)
-        return uh, ul, cnt, nu, total_bad[None], overflow
+        res = (uh, ul, cnt, nu, total_bad[None], overflow)
+        if checked:
+            n_valid = jax.lax.psum(out[5][0], axis)
+            n_cnt = jax.lax.psum(out[6][0], axis)
+            res = res + (n_valid[None], n_cnt[None])
+        return res
 
+    spec = P(axis, None)
+    outs = (spec, spec, spec, P(axis), P(axis), P(axis))
+    if checked:
+        outs = outs + (P(axis), P(axis))
     mapped = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=P(axis, None),
-        out_specs=(
-            P(axis, None), P(axis, None), P(axis, None),
-            P(axis), P(axis), P(axis),
-        ),
+        out_specs=outs,
     )
     return jax.jit(mapped)
 
@@ -532,12 +590,17 @@ def sharded_canonical_count(
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
 
     use_pallas = (
-        jax.default_backend() not in ("cpu",)
+        jax.default_backend() == "tpu"
         if config.use_pallas is None
         else config.use_pallas
     )
     axis = mesh.axis_names[0]
     sharding = NamedSharding(mesh, P(axis, None))
+
+    from ..utils.debug import checked_mode
+
+    dbg = checked_mode()
+    total_valid = None
 
     # 'N' padding classifies as the ambiguity skip class: padded windows
     # sentinel out, and any invalid count > 0 is a real input error
@@ -550,15 +613,29 @@ def sharded_canonical_count(
         cap = int(np.ceil(n_win * config.bucket_factor / n_dev))
         V = _pick_v(shards.shape[1]) if use_pallas else 4096
         step = sharded_count_step(
-            mesh, K, shard, cap, use_pallas, config.pallas_interpret, V
+            mesh, K, shard, cap, use_pallas, config.pallas_interpret, V,
+            checked=dbg,
         )
         view = _rows_to_u32_view(shards, V) if use_pallas else shards
-        uh, ul, cnt, nu, n_bad, overflow = step(
-            jax.device_put(view, sharding)
-        )
+        out = step(jax.device_put(view, sharding))
+        uh, ul, cnt, nu, n_bad, overflow = out[:6]
+        if dbg:
+            # conservation inside each device's sort+RLE (psummed)
+            total_valid = int(np.asarray(out[6])[0])
+            total_counted = int(np.asarray(out[7])[0])
+            if total_valid != total_counted:
+                raise RuntimeError(
+                    "checked mode: count conservation violated in the "
+                    f"sharded local count — {total_valid} valid windows "
+                    f"but {total_counted} counted (sentinel collision or "
+                    "kernel bug)"
+                )
     else:
-        uh, ul, cnt, nu, n_bad, overflow = _streamed_sharded_count(
-            shards, shard, mesh, config, use_pallas, sharding
+        uh, ul, cnt, nu, n_bad, overflow, total_valid = (
+            _streamed_sharded_count(
+                shards, shard, mesh, config, use_pallas, sharding,
+                checked=dbg,
+            )
         )
 
     if int(np.asarray(n_bad)[0]) > 0:
@@ -576,6 +653,14 @@ def sharded_canonical_count(
     kmers = (uh << np.uint64(32)) | ul
     keep = cnt > 0
     kmers, cnt = kmers[keep], cnt[keep].astype(np.int64)
+    if dbg and total_valid is not None and int(cnt.sum()) != total_valid:
+        # end-to-end conservation: the hash-prefix exchange must neither
+        # drop nor duplicate counts
+        raise RuntimeError(
+            "checked mode: count conservation violated across the "
+            f"exchange — {total_valid} valid windows but {int(cnt.sum())} "
+            "in the merged table"
+        )
     order = np.argsort(kmers, kind="stable")
     kmers, cnt = kmers[order], cnt[order]
     if metrics is not None:
@@ -597,6 +682,7 @@ def _streamed_sharded_count(
     config: ShardedCountConfig,
     use_pallas: bool,
     sharding,
+    checked: bool = False,
 ):
     """Stream each device's slab chunk-by-chunk, fold per-device tables
     with the level-stack accumulator (the SPMD twin of the single-chip
@@ -619,7 +705,7 @@ def _streamed_sharded_count(
     V = _pick_v(row_len) if use_pallas else 4096
 
     count = _local_count_step(
-        mesh, K, use_pallas, config.pallas_interpret, V
+        mesh, K, use_pallas, config.pallas_interpret, V, checked
     )
     compact = _compact_step(mesh)
     merge = _merge_step(mesh)
@@ -643,6 +729,7 @@ def _streamed_sharded_count(
     stack = LevelStack(_merge2, _slice2)
 
     dev_bad = None
+    dev_valid = dev_cnt = None  # checked-mode conservation tallies
     n_steps = max(-(-shard // step_len), 1)
     for c in range(n_steps):
         lo_i = c * step_len
@@ -658,7 +745,14 @@ def _streamed_sharded_count(
                 axis=1,
             )
         view = _rows_to_u32_view(np.ascontiguousarray(rows), V) if use_pallas else rows
-        uh, ul, cnt, nu, n_bad = count(jax.device_put(view, sharding))
+        out = count(jax.device_put(view, sharding))
+        if checked:
+            uh, ul, cnt, nu, n_valid, n_cnt, n_bad = out
+            # accumulate on device, fetch once after the loop
+            dev_valid = n_valid if dev_valid is None else dev_valid + n_valid
+            dev_cnt = n_cnt if dev_cnt is None else dev_cnt + n_cnt
+        else:
+            uh, ul, cnt, nu, n_bad = out
         dev_bad = n_bad if dev_bad is None else dev_bad + n_bad
         uh, ul, cnt = compact(uh, ul, cnt)
         stack.push(_slice_nu((uh, ul, cnt), nu))
@@ -672,4 +766,15 @@ def _streamed_sharded_count(
     exchange = _exchange_step(mesh, K, cap)
     uh, ul, cnt, nu, overflow = exchange(*tbl)
     total_bad = int(np.asarray(dev_bad).sum())
-    return uh, ul, cnt, nu, np.array([total_bad]), overflow
+    total_valid = None
+    if checked:
+        total_valid = int(np.asarray(dev_valid).sum())
+        total_counted = int(np.asarray(dev_cnt).sum())
+        if total_valid != total_counted:
+            raise RuntimeError(
+                "checked mode: count conservation violated in the "
+                f"streamed sharded count — {total_valid} valid windows "
+                f"but {total_counted} counted (sentinel collision or "
+                "kernel bug)"
+            )
+    return uh, ul, cnt, nu, np.array([total_bad]), overflow, total_valid

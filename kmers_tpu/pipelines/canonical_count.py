@@ -35,7 +35,8 @@ from ..ops.windows import canonical_windows_from_codes, window_valid_mask
 def _on_tpu() -> bool:
     import jax
 
-    return jax.default_backend() not in ("cpu",)
+    # Mosaic kernels lower only on TPU; other accelerators take jnp paths.
+    return jax.default_backend() == "tpu"
 
 __all__ = [
     "CountConfig",

@@ -33,11 +33,21 @@ def _prep(data):
 
 
 def _on_tpu() -> bool:
-    return jax.default_backend() not in ("cpu",)
+    # Mosaic kernels lower only on TPU; any other accelerator must take
+    # the jnp path.
+    return jax.default_backend() == "tpu"
 
 
-@partial(jax.jit, static_argnames=("K", "canonical", "use_pallas"))
-def _extract(bytes_u8, K: int, canonical: bool, use_pallas: bool = False):
+def _use_pallas(K: int, bps: int = 2) -> bool:
+    # The general window kernel needs sentinel headroom (K*bps <= 62);
+    # K=32 at 2 bits must fall back to the jnp window builder.
+    return _on_tpu() and 1 <= K * bps <= 62
+
+
+@partial(jax.jit, static_argnames=("K", "canonical", "use_pallas", "interpret"))
+def _extract(
+    bytes_u8, K: int, canonical: bool, use_pallas: bool = False, interpret: bool = False
+):
     codes, certain, ambig = classify_2bit(bytes_u8)
     invalid = ~(certain | ambig)
     if use_pallas:
@@ -49,7 +59,7 @@ def _extract(bytes_u8, K: int, canonical: bool, use_pallas: bool = False):
         from ..ops.pallas.general_kernel import windows_pallas_general
 
         h2, l2 = windows_pallas_general(
-            codes, certain, K, bps=2, canonical=canonical
+            codes, certain, K, bps=2, canonical=canonical, interpret=interpret
         )
         n = max(codes.shape[0] - K + 1, 0)
         hi = h2.T.reshape(-1)[:n]
@@ -75,7 +85,7 @@ def extract_kmers(data, K: int = 31, canonical: bool = False, skip_ambiguous: bo
     arr = _prep(data)
     if arr.size < K:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
-    hi, lo, valid, n_inv, n_amb = _extract(jnp.asarray(arr), K, canonical, _on_tpu())
+    hi, lo, valid, n_inv, n_amb = _extract(jnp.asarray(arr), K, canonical, _use_pallas(K))
     if int(n_inv):
         raise EncodeError(DNAAlphabet2(), "<batch input>")
     if int(n_amb) and not skip_ambiguous:
@@ -93,7 +103,7 @@ def spaced_kmers(data, K: int, J: int, canonical: bool = False):
     arr = _prep(data)
     if arr.size < K:
         return np.zeros(0, np.uint64)
-    hi, lo, valid, n_inv, _ = _extract(jnp.asarray(arr), K, canonical, _on_tpu())
+    hi, lo, valid, n_inv, _ = _extract(jnp.asarray(arr), K, canonical, _use_pallas(K))
     # stride via the MXU selection matmul: x[::J] as a strided slice is
     # element-serialized on TPU (245 ms per 2^26 vs ~3 ms — ops/stride.py)
     vals = u64ops.to_numpy((stride_select(hi, J), stride_select(lo, J)))
@@ -173,7 +183,7 @@ def minimizer_select(
     n = arr.size - K + 1
     if n < W:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
-    hi, lo, valid, n_inv, n_amb = _extract(jnp.asarray(arr), K, canonical, _on_tpu())
+    hi, lo, valid, n_inv, n_amb = _extract(jnp.asarray(arr), K, canonical, _use_pallas(K))
     if int(n_inv) or (int(n_amb) and not skip_ambiguous):
         raise EncodeError(DNAAlphabet2(), "<ambiguous or invalid base>")
     if skip_ambiguous:

@@ -22,7 +22,12 @@ from ..ops.encode import classify_2bit
 from ..ops.hashing import fx_hash_u64
 from ..ops.windows import canonical_windows_from_codes, window_valid_mask
 
-__all__ = ["minhash_sketch", "jaccard"]
+__all__ = [
+    "minhash_sketch",
+    "StreamingSketcher",
+    "sketch_fastx_stream",
+    "jaccard",
+]
 
 
 def _smallest_prefix(hh, hl, prefix: int):
@@ -106,28 +111,10 @@ def _sketch_chunk(bytes_u8, K: int, prefix: int):
     return shh, shl, jnp.sum(invalid), boundary
 
 
-def minhash_sketch(
-    data,
-    K: int = 16,
-    s: int = 1000,
-    skip_ambiguous: bool = True,
-    use_pallas: bool | None = None,
-):
-    """The ``s`` smallest distinct canonical-kmer FxHashes of ``data``.
-
-    Returns a sorted np.uint64 array of length <= s.  ``use_pallas``
-    selects the fused Mosaic kernel (default: TPU backends only; K <= 31).
-    """
-    if isinstance(data, str):
-        data = data.encode("ascii")
-    arr = np.frombuffer(bytes(data), dtype=np.uint8)
-    if arr.size < K:
-        return np.zeros(0, np.uint64)
+def _sketch_exact(arr, K: int, s: int, skip_ambiguous: bool, use_pallas: bool):
+    """Exact s-smallest-distinct canonical-kmer FxHashes of one byte
+    buffer, as a sorted np.uint64 array of length <= s."""
     n_windows = arr.size - K + 1
-    if use_pallas is None:
-        # device-validated bit-exact vs the jnp path and ~21% faster
-        # (289 vs 239 Mbases/s @ 2^26 on v5e); Mosaic needs a TPU backend
-        use_pallas = jax.default_backend() not in ("cpu",)
     def run(prefix):
         if use_pallas:
             from .canonical_count import _pad_to_u32_view
@@ -161,6 +148,130 @@ def minhash_sketch(
         # duplication/boundary-tie: fall back to the exact full selection
         h, _ = run(n_windows)
     return h[:s]
+
+
+def _default_use_pallas() -> bool:
+    # device-validated bit-exact vs the jnp path and ~21% faster
+    # (289 vs 239 Mbases/s @ 2^26 on v5e); Mosaic needs a TPU backend
+    return jax.default_backend() == "tpu"
+
+
+def minhash_sketch(
+    data,
+    K: int = 16,
+    s: int = 1000,
+    skip_ambiguous: bool = True,
+    use_pallas: bool | None = None,
+):
+    """The ``s`` smallest distinct canonical-kmer FxHashes of ``data``.
+
+    Returns a sorted np.uint64 array of length <= s.  ``use_pallas``
+    selects the fused Mosaic kernel (default: TPU backends only; K <= 31).
+    """
+    if isinstance(data, str):
+        data = data.encode("ascii")
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    if arr.size < K:
+        return np.zeros(0, np.uint64)
+    if use_pallas is None:
+        use_pallas = _default_use_pallas()
+    return _sketch_exact(arr, K, s, skip_ambiguous, use_pallas)
+
+
+class StreamingSketcher:
+    """Incremental MinHash: push record batches, finalize to the global
+    sketch — inputs larger than HBM sketch chunk-by-chunk.
+
+    MinHash sketches are mergeable: the s smallest distinct hashes of
+    A ∪ B are the s smallest of sketch(A) ∪ sketch(B), so the running
+    state is one sorted <= s array.  Each chunk's sketch is exact (the
+    one-shot exactness-boundary check, falling back to full-width
+    selection per chunk), so the merged sketch is bit-identical to the
+    one-shot sketch of the concatenated input.  Mirrors the reference's
+    streamed-FASTX minhash workflow (/root/reference/docs/src/minhash.md:17-41).
+
+    >>> sk = StreamingSketcher(K=16, s=1000)
+    >>> for seq, off in stream_fastx("reads.fq.gz"):
+    ...     sk.update(seq, off)
+    >>> sketch = sk.finalize()
+    """
+
+    def __init__(
+        self,
+        K: int = 16,
+        s: int = 1000,
+        chunk_size: int = 1 << 24,
+        use_pallas: bool | None = None,
+    ):
+        if chunk_size < K:
+            raise ValueError("chunk_size must be >= K")
+        self.K, self.s, self.chunk_size = K, s, chunk_size
+        self._use_pallas = (
+            _default_use_pallas() if use_pallas is None else use_pallas
+        )
+        self._sketch = np.zeros(0, np.uint64)
+        self._bases = 0
+        self._done = False
+
+    def update(self, seq_bytes, offsets=None):
+        """Sketch one record batch.  ``offsets`` (optional int64 CSR
+        record starts from the fastx readers) joins records with 'N' so
+        windows never span records."""
+        from .canonical_count import _as_byte_array, join_records_with_n
+        from ..ops.count import _next_pow2
+
+        if self._done:
+            raise RuntimeError("finalize() already called")
+        arr = _as_byte_array(seq_bytes)
+        if offsets is not None:
+            arr = join_records_with_n(arr, offsets)
+        K = self.K
+        L = arr.shape[0]
+        self._bases += L
+        if L < K:
+            return
+        # K-1-byte overlap so windows spanning chunk boundaries appear in
+        # exactly one chunk's window set (duplicates would be harmless —
+        # sketches are sets — but the overlap keeps coverage exact)
+        step = self.chunk_size - (K - 1)
+        for start in range(0, max(L - K + 1, 1), step):
+            chunk = arr[start : start + self.chunk_size]
+            # quantize dispatch shapes (pow2, 'N' pad) to bound the set
+            # of compiled executables; 'N' windows drop as invalid
+            target = max(16384, _next_pow2(chunk.shape[0]))
+            if chunk.shape[0] < target:
+                chunk = np.concatenate(
+                    [chunk, np.full(target - chunk.shape[0], ord("N"), np.uint8)]
+                )
+            h = _sketch_exact(chunk, K, self.s, True, self._use_pallas)
+            self._sketch = np.unique(np.concatenate([self._sketch, h]))[
+                : self.s
+            ]
+
+    @property
+    def bases_seen(self) -> int:
+        return self._bases
+
+    def finalize(self) -> np.ndarray:
+        self._done = True
+        return self._sketch
+
+
+def sketch_fastx_stream(
+    path,
+    K: int = 16,
+    s: int = 1000,
+    batch_bytes: int = 1 << 26,
+    chunk_size: int = 1 << 24,
+):
+    """MinHash-sketch a FASTA/FASTQ file without loading it: stream
+    record batches through a :class:`StreamingSketcher`."""
+    from ..io import stream_fastx
+
+    sk = StreamingSketcher(K=K, s=s, chunk_size=chunk_size)
+    for seq, off in stream_fastx(path, batch_bytes=batch_bytes):
+        sk.update(seq, off)
+    return sk.finalize()
 
 
 def jaccard(sketch_a: np.ndarray, sketch_b: np.ndarray, s: int | None = None):

@@ -57,8 +57,10 @@ def test_count_checkpoint(fasta, tmp_path, capsys):
 def test_sketch(fasta, capsys):
     run_cli("sketch", fasta, "-k", "11", "-s", "20")
     lines = capsys.readouterr().out.strip().splitlines()
-    assert len(lines) == 20
-    assert all(len(l) == 16 for l in lines)
+    assert lines[0] == "#kmers_tpu sketch k=11 s=20"
+    hashes = lines[1:]
+    assert len(hashes) == 20
+    assert all(len(l) == 16 for l in hashes)
 
 
 def test_dist(fasta, tmp_path, capsys):
@@ -71,6 +73,29 @@ def test_dist(fasta, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["jaccard"] == 1.0
     assert out["mash_distance"] == 0.0
+
+
+def test_dist_k_mismatch_rejected(fasta, tmp_path, capsys):
+    import pytest
+
+    run_cli("sketch", fasta, "-k", "11", "-s", "50")
+    p = tmp_path / "a.sketch"
+    p.write_text(capsys.readouterr().out)
+    with pytest.raises(SystemExit, match="k=11"):
+        run_cli("dist", p, fasta, "-k", "13", "-s", "50")
+
+
+def test_dist_dedupes_headerless(fasta, tmp_path, capsys):
+    # headerless legacy file with duplicated lines: warns, dedupes, and
+    # still reports j = 1 against the FASTA it came from
+    run_cli("sketch", fasta, "-k", "11", "-s", "50")
+    lines = capsys.readouterr().out.strip().splitlines()[1:]
+    p = tmp_path / "a.sketch"
+    p.write_text("\n".join(lines + lines) + "\n")
+    run_cli("dist", p, fasta, "-k", "11", "-s", "50")
+    cap = capsys.readouterr()
+    assert "no sketch header" in cap.err
+    assert json.loads(cap.out.strip())["jaccard"] == 1.0
 
 
 def test_sixframe(fasta, capsys):

@@ -48,6 +48,35 @@ class TestExtract:
         with pytest.raises(EncodeError):
             extract_kmers("ACGTNACGT", K=3, skip_ambiguous=False)
 
+    @pytest.mark.parametrize("canonical", [False, True])
+    def test_pallas_path_matches_jnp(self, rng, canonical):
+        # the TPU branch of _extract, run through the Mosaic interpreter
+        # on CPU, against the jnp branch — on a buffer containing Ns so
+        # the sentinel-derived valid mask is exercised
+        import jax.numpy as jnp
+
+        from kmers_tpu.pipelines.extract import _extract
+
+        s = rand_dna(rng, 700, "ACGTACGTN")
+        arr = jnp.asarray(np.frombuffer(s.encode(), np.uint8))
+        K = 21
+        ph, pl, pv, pinv, pamb = _extract(arr, K, canonical, True, True)
+        jh, jl, jv, jinv, jamb = _extract(arr, K, canonical, False)
+        pv, jv = np.asarray(pv), np.asarray(jv)
+        np.testing.assert_array_equal(pv, jv)
+        np.testing.assert_array_equal(np.asarray(ph)[pv], np.asarray(jh)[jv])
+        np.testing.assert_array_equal(np.asarray(pl)[pv], np.asarray(jl)[jv])
+        assert int(pinv) == int(jinv) and int(pamb) == int(jamb)
+
+    def test_use_pallas_gate_excludes_k32(self):
+        # K=32 at 2 bps exceeds the kernel's 62-bit sentinel headroom and
+        # must route to the jnp window builder on every backend
+        from kmers_tpu.pipelines.extract import _use_pallas
+
+        assert not _use_pallas(32)
+        assert not _use_pallas(32, bps=2)
+        assert not _use_pallas(8, bps=8)
+
     def test_spaced(self, rng):
         s = rand_dna(rng, 300)
         vals = spaced_kmers(s, K=9, J=4)

@@ -59,7 +59,7 @@ def main():
     L = 1 << int(os.environ.get("BENCH_LOG2L", "26"))
     acgt = np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, L)]
     data = jax.device_put(acgt)
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"
 
     def emit(metric, bases, secs, baseline=None):
         rec = {
