@@ -95,6 +95,7 @@ from .random import (
     rand_from_kmer,
     rand_kmer,
     rand_kmers,
+    rand_kmers_mw,
     rand_kmers_device,
     rand_symbol,
 )

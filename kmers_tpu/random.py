@@ -30,6 +30,7 @@ from .kmer import Kmer
 __all__ = [
     "rand_kmer",
     "rand_kmers",
+    "rand_kmers_mw",
     "rand_kmers_device",
     "rand_symbol",
     "rand_from_kmer",
@@ -71,7 +72,8 @@ def rand_from_kmer(kmer: Kmer, rng=None):
 
 
 def rand_kmer(alphabet, K: int, rng=None) -> Kmer:
-    """One random K-mer under the reference's distribution rules."""
+    """One random K-mer under the reference's distribution rules (any K,
+    like the reference's any-N sampling — /root/reference/ext/RandomExt.jl:37-50)."""
     if not isinstance(alphabet, Alphabet):
         alphabet = alphabet()
     rng = _rng(rng)
@@ -79,56 +81,84 @@ def rand_kmer(alphabet, K: int, rng=None) -> Kmer:
     return Kmer.unsafe(alphabet, K, int(vals[0]))
 
 
+def _rand_encodings(alphabet, K: int, n: int, rng) -> np.ndarray:
+    """(n, K) per-symbol encodings under the reference's distribution
+    rules (/root/reference/ext/RandomExt.jl:56-109)."""
+    if isinstance(alphabet, (DNAAlphabet2, RNAAlphabet2)):
+        # complete alphabet: raw random coding bits == iid uniform symbols
+        return rng.integers(0, 4, (n, K), dtype=np.uint64)
+    if isinstance(alphabet, (DNAAlphabet4, RNAAlphabet4)):
+        # uniform unambiguous bases as one-hot nibbles
+        return np.uint64(1) << rng.integers(0, 4, (n, K), dtype=np.uint64)
+    if isinstance(alphabet, AminoAcidAlphabet):
+        return rng.choice(PROTEOGENIC_AA, size=(n, K)).astype(np.uint64)
+    # incomplete/generic alphabet: sample symbols uniformly
+    syms = alphabet.symbols
+    enc_tbl = np.array([alphabet.encode(s) for s in syms], dtype=np.uint64)
+    return enc_tbl[rng.integers(0, len(syms), (n, K))]
+
+
 def rand_kmers(alphabet, K: int, n: int, rng=None) -> np.ndarray:
-    """``n`` random K-mer register values (uint64 array; requires
-    K * bits_per_symbol <= 64 — use repeated :func:`rand_kmer` otherwise)."""
+    """``n`` random K-mer register values.
+
+    For K * bits_per_symbol <= 64 the result is a uint64 array; for wider
+    kmers (the reference samples any-N kmers) it is an object-dtype array
+    of Python ints, directly usable with :meth:`Kmer.unsafe` or
+    convertible to the multiword limb plane via :func:`rand_kmers_mw`.
+    """
     if not isinstance(alphabet, Alphabet):
         alphabet = alphabet()
     rng = _rng(rng)
     bps = alphabet.bits_per_symbol
     bits = K * bps
-    if bits > 64:
-        raise NotImplementedError("rand_kmers supports K*bps <= 64")
     if K == 0:
         return np.zeros(n, np.uint64)
-    if isinstance(alphabet, (DNAAlphabet2, RNAAlphabet2)):
-        # complete alphabet: raw random coding bits
+    if bits <= 64 and isinstance(alphabet, (DNAAlphabet2, RNAAlphabet2)):
+        # fast path: raw random coding bits, masked
         raw = rng.integers(0, 2**64, n, dtype=np.uint64)
-        mask = np.uint64((1 << bits) - 1)
-        return raw & mask
-    if isinstance(alphabet, (DNAAlphabet4, RNAAlphabet4)):
-        # uniform unambiguous bases as one-hot nibbles
-        two = rng.integers(0, 4, (n, K), dtype=np.uint64)
-        nib = np.uint64(1) << two
+        return raw & np.uint64((1 << bits) - 1)
+    enc = _rand_encodings(alphabet, K, n, rng)
+    if bits <= 64:
         out = np.zeros(n, np.uint64)
         for i in range(K):
-            out = (out << np.uint64(4)) | nib[:, i]
+            out = (out << np.uint64(bps)) | enc[:, i]
         return out
-    if isinstance(alphabet, AminoAcidAlphabet):
-        codes = rng.choice(PROTEOGENIC_AA, size=(n, K)).astype(np.uint64)
-        out = np.zeros(n, np.uint64)
-        for i in range(K):
-            out = (out << np.uint64(8)) | codes[:, i]
-        return out
-    # incomplete/generic alphabet: sample symbols
-    syms = alphabet.symbols
-    idx = rng.integers(0, len(syms), (n, K))
-    out = np.zeros(n, np.uint64)
+    # multi-word: pack into Python big ints (object dtype)
+    out = np.array([0] * n, dtype=object)
     for i in range(K):
-        enc = np.array(
-            [alphabet.encode(syms[j]) for j in idx[:, i]], dtype=np.uint64
+        out = (out << int(bps)) | enc[:, i].astype(object)
+    return out
+
+
+def rand_kmers_mw(alphabet, K: int, n: int, rng=None) -> np.ndarray:
+    """``n`` random K-mers as (n, M) uint32 limb arrays (big-endian,
+    limb 0 most significant — the :mod:`kmers_tpu.ops.multiword` plane
+    layout with zero padding in the top bits of limb 0)."""
+    if not isinstance(alphabet, Alphabet):
+        alphabet = alphabet()
+    bps = alphabet.bits_per_symbol
+    bits = K * bps
+    M = max(-(-bits // 32), 1)
+    vals = rand_kmers(alphabet, K, n, rng)
+    out = np.zeros((n, M), np.uint32)
+    mask = (1 << 32) - 1
+    for j in range(M - 1, -1, -1):
+        out[:, j] = np.array(
+            [(int(v) >> (32 * (M - 1 - j))) & mask for v in vals], np.uint32
         )
-        out = (out << np.uint64(bps)) | enc
     return out
 
 
 def rand_kmers_device(key, alphabet, K: int, n: int):
-    """Device-side batch of random K-mer registers as a (hi, lo) uint32
-    pair, using ``jax.random`` — for generating test/benchmark workloads
-    directly in HBM without a host round-trip.
+    """Device-side batch of random K-mer registers, using ``jax.random``
+    — for generating test/benchmark workloads directly in HBM without a
+    host round-trip.
 
-    Same distribution rules as :func:`rand_kmers` for the supported
-    alphabets (2-bit raw bits; 4-bit one-hot; amino acids proteogenic).
+    Returns a (hi, lo) uint32 pair for K*bps <= 64, and an (n, M) uint32
+    limb array (big-endian, the :mod:`kmers_tpu.ops.multiword` layout)
+    for wider kmers.  Same distribution rules as :func:`rand_kmers` for
+    the supported alphabets (2-bit raw bits; 4-bit one-hot; amino acids
+    proteogenic).
     """
     import jax
     import jax.numpy as jnp
@@ -137,18 +167,24 @@ def rand_kmers_device(key, alphabet, K: int, n: int):
         alphabet = alphabet()
     bps = alphabet.bits_per_symbol
     bits = K * bps
-    if bits > 64:
-        raise NotImplementedError("rand_kmers_device supports K*bps <= 64")
+    M = max(-(-bits // 32), 1)
+    pad = 32 * M - bits  # zero padding in the top bits of limb 0
     if isinstance(alphabet, (DNAAlphabet2, RNAAlphabet2)):
-        hi = jax.random.bits(jax.random.fold_in(key, 0), (n,), jnp.uint32)
-        lo = jax.random.bits(jax.random.fold_in(key, 1), (n,), jnp.uint32)
+        # complete alphabet: raw random coding bits per limb
+        limbs = [
+            jax.random.bits(jax.random.fold_in(key, j), (n,), jnp.uint32)
+            for j in range(M)
+        ]
+        if pad:
+            limbs[0] = limbs[0] & jnp.uint32((1 << (32 - pad)) - 1)
         if bits <= 32:
-            return jnp.zeros(n, jnp.uint32), lo & ((1 << bits) - 1)
-        return hi & ((1 << (bits - 32)) - 1), lo
+            return jnp.zeros(n, jnp.uint32), limbs[0]
+        if bits <= 64:
+            return limbs[0], limbs[1]
+        return jnp.stack(limbs, axis=1)
     if isinstance(alphabet, (DNAAlphabet4, RNAAlphabet4)):
         two = jax.random.randint(key, (n, K), 0, 4, jnp.uint32)
-        nib = jnp.left_shift(jnp.uint32(1), two)
-        vals = nib
+        vals = jnp.left_shift(jnp.uint32(1), two)
     elif isinstance(alphabet, AminoAcidAlphabet):
         tbl = jnp.asarray(PROTEOGENIC_AA.astype(np.uint32))
         vals = jnp.take(
@@ -158,15 +194,16 @@ def rand_kmers_device(key, alphabet, K: int, n: int):
         raise NotImplementedError(
             "device-side sampling supports nucleotide and AA alphabets"
         )
-    hi = jnp.zeros(n, jnp.uint32)
-    lo = jnp.zeros(n, jnp.uint32)
+    # shift the M-limb register left by bps per symbol, carry across limbs
+    limbs = [jnp.zeros(n, jnp.uint32) for _ in range(M)]
     for i in range(K):
-        # shift the register left by bps and OR the next encoding in
-        hi = (hi << bps) | (lo >> (32 - bps))
-        lo = (lo << bps) | vals[:, i]
-    if bits > 32:
-        hi = hi & jnp.uint32((1 << (bits - 32)) - 1)
-    else:
-        hi = jnp.zeros_like(hi)
-        lo = lo & jnp.uint32((1 << bits) - 1)
-    return hi, lo
+        for j in range(M - 1):
+            limbs[j] = (limbs[j] << bps) | (limbs[j + 1] >> (32 - bps))
+        limbs[M - 1] = (limbs[M - 1] << bps) | vals[:, i]
+    if pad:
+        limbs[0] = limbs[0] & jnp.uint32((1 << (32 - pad)) - 1)
+    if bits <= 32:
+        return jnp.zeros(n, jnp.uint32), limbs[0]
+    if bits <= 64:
+        return limbs[0], limbs[1]
+    return jnp.stack(limbs, axis=1)

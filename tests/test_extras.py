@@ -50,6 +50,82 @@ class TestRandom:
     def test_k_zero(self, rng):
         assert rand_kmer(DNAAlphabet2(), 0, rng).value == 0
 
+    def test_multiword_dna47(self, rng):
+        # K*bps > 64: object-dtype big ints, uniform symbols
+        # (/root/reference/ext/RandomExt.jl:37-50,87-101 samples any N)
+        vals = rand_kmers(DNAAlphabet2(), 47, 400, rng)
+        assert vals.dtype == object
+        seen = collections.Counter()
+        for v in vals:
+            assert 0 <= int(v) < 1 << 94
+            k = Kmer.unsafe(DNAAlphabet2(), 47, int(v))
+            seen.update(str(s) for s in k)
+        assert set(seen) == {"A", "C", "G", "T"}
+        counts = np.array([seen[c] for c in "ACGT"], float)
+        assert counts.std() / counts.mean() < 0.05
+
+    def test_multiword_aa(self, rng):
+        # 9 AAs = 72 bits > 64; also the reference's K=116 regime
+        allowed = set(int(c) for c in PROTEOGENIC_AA)
+        for K in (9, 116):
+            vals = rand_kmers(AminoAcidAlphabet(), K, 60, rng)
+            for v in vals[:20]:
+                k = Kmer.unsafe(AminoAcidAlphabet(), K, int(v))
+                assert len(k) == K
+                assert all(
+                    k.extract_encoded_element(i) in allowed for i in range(K)
+                )
+
+    def test_multiword_fourbit_one_hot(self, rng):
+        vals = rand_kmers(DNAAlphabet4(), 21, 60, rng)  # 84 bits
+        for v in vals[:20]:
+            k = Kmer.unsafe(DNAAlphabet4(), 21, int(v))
+            assert all(s.iscertain for s in k)
+
+    def test_scalar_multiword(self, rng):
+        k = rand_kmer(DNAAlphabet2(), 47, rng)
+        assert len(k) == 47
+        k = rand_kmer(AminoAcidAlphabet(), 116, rng)
+        assert len(k) == 116
+
+    def test_mw_limbs_layout(self, rng):
+        # limb arrays are big-endian with zero padding atop limb 0
+        from kmers_tpu.random import rand_kmers_mw
+
+        seeds = np.random.default_rng(5)
+        a = rand_kmers_mw(DNAAlphabet2(), 47, 30, seeds)  # 94 bits, M=3
+        assert a.shape == (30, 3) and a.dtype == np.uint32
+        assert (a[:, 0] >> 30 == 0).all()  # 2 pad bits zero
+        b = rand_kmers_mw(DNAAlphabet2(), 47, 30, np.random.default_rng(5))
+        vals = rand_kmers(DNAAlphabet2(), 47, 30, np.random.default_rng(5))
+        np.testing.assert_array_equal(a, b)
+        got = [
+            (int(r[0]) << 64) | (int(r[1]) << 32) | int(r[2]) for r in a
+        ]
+        assert got == [int(v) for v in vals]
+
+    def test_device_multiword(self):
+        import jax
+
+        from kmers_tpu.random import rand_kmers_device
+
+        key = jax.random.PRNGKey(3)
+        limbs = np.asarray(rand_kmers_device(key, DNAAlphabet2(), 47, 64))
+        assert limbs.shape == (64, 3)
+        assert (limbs[:, 0] >> 30 == 0).all()
+        aa = np.asarray(rand_kmers_device(key, AminoAcidAlphabet(), 9, 64))
+        assert aa.shape == (64, 3)  # 72 bits, M=3, 24 pad bits
+        assert (aa[:, 0] >> 8 == 0).all()
+        allowed = set(int(c) for c in PROTEOGENIC_AA)
+        for r in aa[:10]:
+            v = (int(r[0]) << 64) | (int(r[1]) << 32) | int(r[2])
+            k = Kmer.unsafe(AminoAcidAlphabet(), 9, v)
+            assert all(k.extract_encoded_element(i) in allowed for i in range(9))
+        # (hi, lo) contract preserved at or below 64 bits
+        hi, lo = rand_kmers_device(key, DNAAlphabet2(), 31, 16)
+        assert np.asarray(hi).shape == (16,)
+        assert (np.asarray(hi) >> 30 == 0).all()
+
     def test_rand_from_kmer(self, rng):
         # samples the kmer's positions, not the alphabet
         # (/root/reference/ext/RandomExt.jl:40-44)
@@ -95,6 +171,64 @@ class TestMinhash:
 
     def test_short(self):
         assert minhash_sketch("ACG", K=16, s=10).size == 0
+
+    def test_streaming_parity_multichunk(self, rng):
+        # >= 3 chunks per update, windows spanning chunk boundaries
+        from kmers_tpu.pipelines.minhash import StreamingSketcher
+
+        s = "".join("ACGT"[i] for i in rng.integers(0, 4, 60000))
+        want = minhash_sketch(s, K=16, s=300)
+        sk = StreamingSketcher(K=16, s=300, chunk_size=16384)
+        sk.update(s.encode())
+        got = sk.finalize()
+        assert sk.bases_seen == 60000
+        np.testing.assert_array_equal(got, want)
+
+    def test_streaming_parity_record_batches(self, rng):
+        # many update() calls with record offsets == one-shot sketch of
+        # the N-joined concatenation
+        from kmers_tpu.pipelines.canonical_count import join_records_with_n
+        from kmers_tpu.pipelines.minhash import StreamingSketcher
+
+        recs = [
+            "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+            for n in (900, 40, 3000, 17)
+        ]
+        sk = StreamingSketcher(K=11, s=64, chunk_size=1024)
+        joined_parts = []
+        for r in recs:
+            arr = np.frombuffer(r.encode(), np.uint8)
+            off = np.array([0, arr.size], np.int64)
+            sk.update(arr, off)
+            joined_parts.append(r)
+        want = minhash_sketch("N".join(joined_parts), K=11, s=64)
+        # per-update joining is independent, so the merged sketch equals
+        # the sketch of records joined by N in any grouping
+        np.testing.assert_array_equal(sk.finalize(), want)
+
+    def test_streaming_pathological_duplication(self):
+        from kmers_tpu.pipelines.minhash import StreamingSketcher
+
+        s = "ACGT" * 20000
+        sk = StreamingSketcher(K=8, s=16, chunk_size=4096)
+        sk.update(s.encode())
+        np.testing.assert_array_equal(
+            sk.finalize(), minhash_sketch(s, K=8, s=16)
+        )
+
+    def test_sketch_fastx_stream(self, rng, tmp_path):
+        from kmers_tpu.pipelines.minhash import sketch_fastx_stream
+
+        seqs = [
+            "".join("ACGT"[i] for i in rng.integers(0, 4, 2500))
+            for _ in range(6)
+        ]
+        p = tmp_path / "reads.fa"
+        p.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs)))
+        got = sketch_fastx_stream(p, K=14, s=100, batch_bytes=4096,
+                                  chunk_size=2048)
+        want = minhash_sketch("N".join(seqs), K=14, s=100)
+        np.testing.assert_array_equal(got, want)
 
     def test_two_stage_selection_exact(self, rng):
         # exercise the two-stage top_k branch of _smallest_prefix directly
