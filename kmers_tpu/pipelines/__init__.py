@@ -10,7 +10,12 @@ from .canonical_count import (
     counts_to_dict,
     join_records_with_n,
 )
-from .minhash import minhash_sketch, jaccard
+from .minhash import (
+    StreamingSketcher,
+    jaccard,
+    minhash_sketch,
+    sketch_fastx_stream,
+)
 from .streaming import StreamingCounter, count_fastx_stream
 from .extract import extract_kmers, spaced_kmers, minimizer_select, syncmer_select
 from .tables import (
