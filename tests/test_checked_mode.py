@@ -87,6 +87,73 @@ class TestArrayPlane:
         assert int(jnp.sum(cnt)) != int(jnp.sum(valid))  # the quiet drop
 
 
+class TestShardedPlane:
+    """Checked mode reaching the SPMD plane (VERDICT r3 item 7)."""
+
+    def test_sharded_conservation_clean(self, rng):
+        from kmers_tpu.parallel import (
+            ShardedCountConfig,
+            data_mesh,
+            sharded_canonical_count,
+        )
+
+        seq = "".join("ACGTN"[i] for i in rng.integers(0, 5, 12000))
+        mesh = data_mesh(4)
+        cfg = ShardedCountConfig(K=11)
+        k0, c0 = sharded_canonical_count(seq, cfg, mesh)
+        with checked():
+            k1, c1 = sharded_canonical_count(seq, cfg, mesh)
+        assert np.array_equal(k0, k1) and np.array_equal(c0, c1)
+
+    def test_streamed_sharded_conservation_clean(self, rng):
+        from kmers_tpu.parallel import (
+            ShardedCountConfig,
+            data_mesh,
+            sharded_canonical_count,
+        )
+
+        seq = "".join("ACGTN"[i] for i in rng.integers(0, 5, 40000))
+        mesh = data_mesh(4)
+        # >= 3 chunks per device
+        cfg = ShardedCountConfig(K=11, chunk_size=4096)
+        k0, c0 = sharded_canonical_count(seq, cfg, mesh)
+        with checked():
+            k1, c1 = sharded_canonical_count(seq, cfg, mesh)
+        assert np.array_equal(k0, k1) and np.array_equal(c0, c1)
+
+    def test_sharded_violation_detected(self, rng, monkeypatch):
+        # poison the exchange so counts are lost: checked mode's
+        # end-to-end conservation assert must trip
+        from kmers_tpu.parallel import (
+            ShardedCountConfig,
+            data_mesh,
+            sharded_canonical_count,
+        )
+        from kmers_tpu.parallel import pipeline as pl
+
+        real = pl.exchange_and_merge
+
+        def poisoned(uh, ul, cnt, n_dev, cap, axis):
+            uh2, ul2, cnt2, nu, overflow = real(uh, ul, cnt, n_dev, cap, axis)
+            import jax.numpy as jnp
+
+            # silently drop one count on every device
+            cnt2 = jnp.where(
+                jnp.arange(cnt2.shape[0]) == 0,
+                jnp.maximum(cnt2 - 1, 0),
+                cnt2,
+            )
+            return uh2, ul2, cnt2, nu, overflow
+
+        monkeypatch.setattr(pl, "exchange_and_merge", poisoned)
+        seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 9000))
+        mesh = data_mesh(2)
+        cfg = ShardedCountConfig(K=13)
+        with checked():
+            with pytest.raises(RuntimeError, match="conservation"):
+                sharded_canonical_count(seq, cfg, mesh)
+
+
 class TestFlagPlumbing:
     def test_env_default_off(self):
         assert not checked_mode()
