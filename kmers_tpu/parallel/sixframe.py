@@ -49,6 +49,12 @@ class SixFrameCountConfig:
     K: int = 7  # amino acids per kmer
     bucket_factor: float = 2.0
     code: GeneticCode = standard_genetic_code
+    #: bases per device per jitted dispatch (rounded down to a multiple
+    #: of 3 so codon frames stay aligned); device slabs longer than this
+    #: stream chunk-by-chunk through the level-stack accumulator like the
+    #: canonical pipeline — gigabase inputs never need a whole-slab
+    #: dispatch.  K <= 7 only (multi-limb slabs still dispatch whole).
+    chunk_size: int = 1 << 24
 
     def __post_init__(self):
         if not 1 <= self.K <= 32:
@@ -56,14 +62,19 @@ class SixFrameCountConfig:
                 "sharded AA counting supports 1 <= K <= 32 (K <= 7 on "
                 "single 56-bit registers, K <= 32 on multi-limb registers)"
             )
+        if self.chunk_size < 6 * self.K:
+            raise ValueError("chunk_size must be >= 6*K bases")
 
 
-def _frame_windows(codes, certain, K: int, H: int, shard: int, tbl):
+def _frame_windows(codes, certain, K: int, own_lo, own_hi, tbl):
     """AA kmer windows + validity for frames 0,1,2 of one strand stream.
 
     ``codes``/``certain`` cover [body-H, body+shard+H) in stream
     coordinates; a window is emitted iff its codon start lies in the
-    body and all 3K bases are certain.
+    ownership span [own_lo, own_hi) — the body — and all 3K bases are
+    certain.  The bounds may be traced i32 scalars (the streamed driver
+    clips the tail chunk's body dynamically so one compiled program
+    serves every chunk).
     """
     span = 3 * K
     base_valid = window_valid_mask(certain, span)  # per base position
@@ -88,12 +99,12 @@ def _frame_windows(codes, certain, K: int, H: int, shard: int, tbl):
         # window j starts at base position f + 3j
         starts = f + 3 * jnp.arange(n_win, dtype=_I32)
         v = stride_select(bv32, 3, offset=f, n_out=n_win) != 0
-        own = (starts >= H) & (starts < H + shard)
+        own = (starts >= own_lo) & (starts < own_hi)
         outs.append((hi, lo, v & own))
     return outs
 
 
-def _frame_windows_mw(codes, certain, K: int, H: int, shard: int, tbl):
+def _frame_windows_mw(codes, certain, K: int, own_lo, own_hi, tbl):
     """Multi-limb twin of :func:`_frame_windows` for K > 7 amino acids
     (8 bits/symbol -> M = ceil(K/4) uint32 limbs, the reference's
     multi-word AA kmers, /root/reference/src/kmer.jl:82)."""
@@ -115,7 +126,7 @@ def _frame_windows_mw(codes, certain, K: int, H: int, shard: int, tbl):
         n_win = limbs[0].shape[0]
         starts = f + 3 * jnp.arange(n_win, dtype=_I32)
         v = stride_select(bv32, 3, offset=f, n_out=n_win) != 0
-        own = (starts >= H) & (starts < H + shard)
+        own = (starts >= own_lo) & (starts < own_hi)
         outs.append((limbs, v & own))
     return outs
 
@@ -131,8 +142,8 @@ def _sixframe_body_mw(shard_bytes, K: int, n_dev: int, cap: int, axis: str, tbl)
     rc_codes = (codes ^ 3)[::-1]
     rc_certain = certain[::-1]
 
-    frames = _frame_windows_mw(codes, certain, K, H, shard, tbl)
-    frames += _frame_windows_mw(rc_codes, rc_certain, K, H, shard, tbl)
+    frames = _frame_windows_mw(codes, certain, K, H, H + shard, tbl)
+    frames += _frame_windows_mw(rc_codes, rc_certain, K, H, H + shard, tbl)
 
     M = len(frames[0][0])
     limbs = tuple(
@@ -163,8 +174,8 @@ def _sixframe_body(shard_bytes, K: int, n_dev: int, cap: int, axis: str, tbl):
     rc_codes = (codes ^ 3)[::-1]
     rc_certain = certain[::-1]
 
-    frames = _frame_windows(codes, certain, K, H, shard, tbl)
-    frames += _frame_windows(rc_codes, rc_certain, K, H, shard, tbl)
+    frames = _frame_windows(codes, certain, K, H, H + shard, tbl)
+    frames += _frame_windows(rc_codes, rc_certain, K, H, H + shard, tbl)
 
     hi = jnp.concatenate([f[0] for f in frames])
     lo = jnp.concatenate([f[1] for f in frames])
@@ -177,7 +188,67 @@ def _sixframe_body(shard_bytes, K: int, n_dev: int, cap: int, axis: str, tbl):
     return uh[None], ul[None], cnt[None], nu[None], n_windows[None], total_overflow[None]
 
 
+def _sixframe_local_body(rows, pad3, K: int, tbl, checked: bool):
+    """Per-device six-frame window build + sort/RLE for ONE chunk row of
+    shape (1, 2H + B) — the local-count half of the streamed pipeline
+    (the hot loop of /root/reference/src/transformations.jl:43-70 as one
+    batched dispatch).
+
+    ``pad3``: traced i32 scalar — how many trailing 0x00 bytes pad this
+    chunk's body (a multiple of 3; nonzero only on the tail chunk).  The
+    forward-frame ownership span shrinks to [H, H + B - pad3) so windows
+    starting in the pad region (whose bases are the next device's real
+    body, present here as right-halo data) are not double-counted; on
+    the reversed stream the pad sits at the START, shifting the span to
+    [H + pad3, H + B).
+
+    Always returns the device's valid-window tally (metrics); with
+    ``checked`` also the counted tally for the conservation assert."""
+    data = rows[0]
+    p3 = pad3[0]
+    H = 3 * K
+    body_len = data.shape[0] - 2 * H
+    codes, certain, _ambig = classify_2bit(data)
+    rc_codes = (codes ^ 3)[::-1]
+    rc_certain = certain[::-1]
+    frames = _frame_windows(codes, certain, K, H, H + body_len - p3, tbl)
+    frames += _frame_windows(
+        rc_codes, rc_certain, K, H + p3, H + body_len, tbl
+    )
+    hi = jnp.concatenate([f[0] for f in frames])
+    lo = jnp.concatenate([f[1] for f in frames])
+    valid = jnp.concatenate([f[2] for f in frames])
+    uh, ul, cnt, nu = sort_count(hi, lo, valid, key_bits=8 * K)
+    n_valid = jnp.sum(valid, dtype=_I32)
+    out = (uh[None], ul[None], cnt[None], nu[None], n_valid[None])
+    if checked:
+        out = out + (jnp.sum(cnt, dtype=_I32)[None],)
+    return out
+
+
 import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _sixframe_local_step(
+    mesh: Mesh, K: int, tbl_bytes: bytes, checked: bool = False
+):
+    """Cached jitted per-chunk local count (no exchange) for streaming."""
+    axis = mesh.axis_names[0]
+    tbl = np.frombuffer(tbl_bytes, np.uint8)
+    body = partial(_sixframe_local_body, K=K, tbl=tbl, checked=checked)
+    spec = P(axis, None)
+    outs = (spec, spec, spec, P(axis), P(axis))
+    if checked:
+        outs = outs + (P(axis),)
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        # pad3 is replicated (same tail-clip on every device)
+        in_specs=(P(axis, None), P(None)),
+        out_specs=outs,
+    )
+    return jax.jit(mapped)
 
 
 @functools.lru_cache(maxsize=64)
@@ -229,6 +300,7 @@ def sharded_sixframe_aa_count(
     data,
     config: SixFrameCountConfig = SixFrameCountConfig(),
     mesh: Mesh | None = None,
+    metrics=None,
 ):
     """Count amino-acid K-mers over all six reading frames of ``data``
     across the mesh.  Ambiguous bases invalidate the windows that touch
@@ -237,7 +309,15 @@ def sharded_sixframe_aa_count(
     K <= 7 (single 56-bit registers) and an object array of Python ints
     for K > 7 (multi-limb registers, the reference's multi-word AA kmers
     /root/reference/src/kmer.jl:82).
+
+    Device slabs longer than ``config.chunk_size`` bases stream chunk by
+    chunk with the level-stack accumulator and one final hash-prefix
+    exchange (K <= 7).  ``metrics``: optional :class:`kmers_tpu.utils.Metrics`;
+    checked mode asserts count conservation through sort/RLE and the
+    exchange.
     """
+    if metrics is not None:
+        metrics.start_batch()
     if isinstance(data, str):
         data = data.encode("ascii")
     arr = np.frombuffer(bytes(data), dtype=np.uint8).copy()
@@ -287,9 +367,8 @@ def sharded_sixframe_aa_count(
         cnt = cnt[keep].astype(np.int64)
         order = np.argsort([int(v) for v in kmers], kind="stable")
         return kmers[order], cnt[order]
-    step = _sixframe_step(mesh, K, cap, tbl_bytes)
-    uh, ul, cnt, nu, n_windows, overflow = step(
-        jax.device_put(shards, sharding)
+    uh, ul, cnt, overflow, total_valid = _streamed_sixframe_count(
+        shards, shard, mesh, config, sharding, tbl_bytes
     )
     if int(np.asarray(overflow)[0]) > 0:
         raise RuntimeError(
@@ -301,5 +380,109 @@ def sharded_sixframe_aa_count(
     kmers = (uh << np.uint64(32)) | ul
     keep = cnt > 0
     kmers, cnt = kmers[keep], cnt[keep].astype(np.int64)
+    from ..utils.debug import checked_mode
+
+    if checked_mode() and int(cnt.sum()) != total_valid:
+        raise RuntimeError(
+            "checked mode: count conservation violated across the "
+            f"six-frame exchange — {total_valid} valid windows but "
+            f"{int(cnt.sum())} in the merged table"
+        )
     order = np.argsort(kmers, kind="stable")
-    return kmers[order], cnt[order]
+    kmers, cnt = kmers[order], cnt[order]
+    if metrics is not None:
+        metrics.end_batch(
+            bases_in=L,
+            windows_out=int(cnt.sum()),
+            windows_skipped=total_valid - int(cnt.sum()),
+            distinct_kmers=int(kmers.shape[0]),
+        )
+    return kmers, cnt
+
+
+def _streamed_sixframe_count(
+    shards: np.ndarray,
+    shard: int,
+    mesh: Mesh,
+    config: SixFrameCountConfig,
+    sharding,
+    tbl_bytes: bytes,
+):
+    """Stream each device's (H + shard + H) slab in chunk-sized bodies
+    with two-sided 3K halos, fold per-device tables with the level-stack,
+    and exchange once — the six-frame twin of
+    ``pipeline._streamed_sharded_count``.  Chunk bodies are multiples of
+    3 and tile the slab body exactly, so frame ownership masks are the
+    per-chunk restriction of the per-device masks (same geometry
+    argument as the module docstring, one level down)."""
+    from ..ops.count import _next_pow2
+    from ..utils.debug import checked_mode
+    from ..utils.levelstack import LevelStack
+    from .pipeline import _compact_step, _exchange_step, _merge_step
+
+    n_dev = mesh.devices.size
+    K = config.K
+    H = 3 * K
+    checked = checked_mode()
+
+    # chunk body length: multiple of 3, covers the slab in equal rows
+    B = min(config.chunk_size - config.chunk_size % 3, shard)
+    B = max(B, 3)
+    n_chunks = -(-shard // B)
+    row_len = B + 2 * H
+
+    count = _sixframe_local_step(mesh, K, tbl_bytes, checked)
+    compact = _compact_step(mesh)
+    merge = _merge_step(mesh)
+
+    def _slice_nu(tbl, nu):
+        cap = _next_pow2(max(int(np.asarray(nu).max()), 1))
+        return tuple(x[:, :cap] for x in tbl)
+
+    stack = LevelStack(
+        lambda a, b: merge(*a, *b), lambda out: _slice_nu(out[:3], out[3])
+    )
+
+    dev_valid = dev_cnt = None
+    for c in range(n_chunks):
+        rows = shards[:, c * B : c * B + row_len]
+        # body bytes actually inside the slab body (the rest of the row's
+        # body region is right-halo data owned by the next chunk/device)
+        b_true = min(B, shard - c * B)
+        if rows.shape[1] < row_len:
+            # tail chunk: pad the row to the uniform dispatch shape with
+            # 0x00; ownership clips at b_true so nothing double-counts
+            rows = np.concatenate(
+                [
+                    rows,
+                    np.zeros((n_dev, row_len - rows.shape[1]), np.uint8),
+                ],
+                axis=1,
+            )
+        pad3 = np.asarray([B - b_true], np.int32)
+        out = count(
+            jax.device_put(np.ascontiguousarray(rows), sharding), pad3
+        )
+        uh, ul, cnt, nu, n_valid = out[:5]
+        dev_valid = n_valid if dev_valid is None else dev_valid + n_valid
+        if checked:
+            n_cnt = out[5]
+            dev_cnt = n_cnt if dev_cnt is None else dev_cnt + n_cnt
+        uh, ul, cnt = compact(uh, ul, cnt)
+        stack.push(_slice_nu((uh, ul, cnt), nu))
+
+    tbl = stack.fold()
+    C = tbl[0].shape[1]
+    cap = max(int(np.ceil(C * config.bucket_factor / n_dev)), 1)
+    exchange = _exchange_step(mesh, K, cap)
+    uh, ul, cnt, nu, overflow = exchange(*tbl)
+    total_valid = int(np.asarray(dev_valid).sum())
+    if checked:
+        total_counted = int(np.asarray(dev_cnt).sum())
+        if total_valid != total_counted:
+            raise RuntimeError(
+                "checked mode: count conservation violated in the "
+                f"six-frame local count — {total_valid} valid windows "
+                f"but {total_counted} counted"
+            )
+    return uh, ul, cnt, overflow, total_valid

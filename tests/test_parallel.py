@@ -224,6 +224,55 @@ class TestSixFrame:
         want = 2 * sum((len(s) - f) // 3 - K + 1 for f in range(3))
         assert counts.sum() == want
 
+    @pytest.mark.parametrize("n_dev", [1, 8])
+    def test_streamed_multichunk_parity(self, n_dev):
+        # >= 3 chunks per device through the level-stack; chunk bodies
+        # clip at the tail so halo data is never double-counted
+        from kmers_tpu.parallel.sixframe import (
+            SixFrameCountConfig,
+            sharded_sixframe_aa_count,
+        )
+
+        rng = np.random.default_rng(21)
+        s = "".join("ACGTN"[i] for i in rng.integers(0, 5, 24001))
+        K = 5
+        big = sharded_sixframe_aa_count(
+            s, SixFrameCountConfig(K=K), data_mesh(n_dev)
+        )
+        small = sharded_sixframe_aa_count(
+            s, SixFrameCountConfig(K=K, chunk_size=900), data_mesh(n_dev)
+        )
+        assert np.array_equal(big[0], small[0])
+        assert np.array_equal(big[1], small[1])
+        oracle = self._oracle(s, K)
+        assert dict(zip(small[0].tolist(), small[1].tolist())) == {
+            int(k): v for k, v in oracle.items()
+        }
+
+    def test_streamed_checked_and_metrics(self):
+        from kmers_tpu.parallel.sixframe import (
+            SixFrameCountConfig,
+            sharded_sixframe_aa_count,
+        )
+        from kmers_tpu.utils import Metrics, checked
+
+        rng = np.random.default_rng(9)
+        s = "".join("ACGT"[i] for i in rng.integers(0, 4, 6000))
+        m = Metrics()
+        with checked():
+            kmers, counts = sharded_sixframe_aa_count(
+                s,
+                SixFrameCountConfig(K=4, chunk_size=1500),
+                data_mesh(4),
+                metrics=m,
+            )
+        want = 2 * sum((len(s) - f) // 3 - 4 + 1 for f in range(3))
+        assert counts.sum() == want
+        stats = m.batches[-1]
+        assert stats.bases_in == 6000
+        assert stats.windows_out == want
+        assert stats.distinct_kmers == kmers.size
+
 
 class TestShardedMinimizers:
     @pytest.mark.parametrize("n_dev", [1, 3, 8])
