@@ -731,6 +731,27 @@ def _streamed_sharded_count(
     dev_bad = None
     dev_valid = dev_cnt = None  # checked-mode conservation tallies
     n_steps = max(-(-shard // step_len), 1)
+
+    def _drain(out):
+        # consume one chunk's count output: accumulate error/conservation
+        # tallies on device, compact, and push to the level stack (the
+        # push's nu.max() is the stream's only per-chunk host fetch)
+        nonlocal dev_bad, dev_valid, dev_cnt
+        if checked:
+            uh, ul, cnt, nu, n_valid, n_cnt, n_bad = out
+            dev_valid = n_valid if dev_valid is None else dev_valid + n_valid
+            dev_cnt = n_cnt if dev_cnt is None else dev_cnt + n_cnt
+        else:
+            uh, ul, cnt, nu, n_bad = out
+        dev_bad = n_bad if dev_bad is None else dev_bad + n_bad
+        uh, ul, cnt = compact(uh, ul, cnt)
+        stack.push(_slice_nu((uh, ul, cnt), nu))
+
+    # software double-buffer: enqueue chunk c+1's host prep + dispatch
+    # BEFORE fetching chunk c's nu scalar, so the ~26 ms remote fetch and
+    # the host-side copy overlap device compute instead of serializing
+    # the stream (VERDICT r3 item 4)
+    pending = None
     for c in range(n_steps):
         lo_i = c * step_len
         rows = shards[:, lo_i : lo_i + row_len]
@@ -746,16 +767,11 @@ def _streamed_sharded_count(
             )
         view = _rows_to_u32_view(np.ascontiguousarray(rows), V) if use_pallas else rows
         out = count(jax.device_put(view, sharding))
-        if checked:
-            uh, ul, cnt, nu, n_valid, n_cnt, n_bad = out
-            # accumulate on device, fetch once after the loop
-            dev_valid = n_valid if dev_valid is None else dev_valid + n_valid
-            dev_cnt = n_cnt if dev_cnt is None else dev_cnt + n_cnt
-        else:
-            uh, ul, cnt, nu, n_bad = out
-        dev_bad = n_bad if dev_bad is None else dev_bad + n_bad
-        uh, ul, cnt = compact(uh, ul, cnt)
-        stack.push(_slice_nu((uh, ul, cnt), nu))
+        if pending is not None:
+            _drain(pending)
+        pending = out
+    if pending is not None:
+        _drain(pending)
 
     tbl = stack.fold()
 

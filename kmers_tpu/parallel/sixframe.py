@@ -444,6 +444,20 @@ def _streamed_sixframe_count(
     )
 
     dev_valid = dev_cnt = None
+
+    def _drain(out):
+        nonlocal dev_valid, dev_cnt
+        uh, ul, cnt, nu, n_valid = out[:5]
+        dev_valid = n_valid if dev_valid is None else dev_valid + n_valid
+        if checked:
+            n_cnt = out[5]
+            dev_cnt = n_cnt if dev_cnt is None else dev_cnt + n_cnt
+        uh, ul, cnt = compact(uh, ul, cnt)
+        stack.push(_slice_nu((uh, ul, cnt), nu))
+
+    # software double-buffer (see pipeline._streamed_sharded_count):
+    # enqueue the next chunk before the previous chunk's nu fetch
+    pending = None
     for c in range(n_chunks):
         rows = shards[:, c * B : c * B + row_len]
         # body bytes actually inside the slab body (the rest of the row's
@@ -463,13 +477,11 @@ def _streamed_sixframe_count(
         out = count(
             jax.device_put(np.ascontiguousarray(rows), sharding), pad3
         )
-        uh, ul, cnt, nu, n_valid = out[:5]
-        dev_valid = n_valid if dev_valid is None else dev_valid + n_valid
-        if checked:
-            n_cnt = out[5]
-            dev_cnt = n_cnt if dev_cnt is None else dev_cnt + n_cnt
-        uh, ul, cnt = compact(uh, ul, cnt)
-        stack.push(_slice_nu((uh, ul, cnt), nu))
+        if pending is not None:
+            _drain(pending)
+        pending = out
+    if pending is not None:
+        _drain(pending)
 
     tbl = stack.fold()
     C = tbl[0].shape[1]

@@ -271,6 +271,28 @@ def canonical_count_bytes(
 
     stack = LevelStack(_merge, _slice)
     starts = list(range(0, max(L - K + 1, 1), step))
+
+    def _drain(out):
+        # consume one chunk's output: device-side tally adds, compact,
+        # and the level-stack push (its nu fetch is the stream's only
+        # per-chunk host round trip)
+        nonlocal dev_valid, dev_counted, dev_invalid, dev_ambig
+        if track:
+            uh, ul, cnt, nu, n_inv, n_amb, n_val, n_cnt = out
+            dev_valid = dev_valid + n_val.astype(dev_valid.dtype)
+            dev_counted = dev_counted + n_cnt.astype(dev_counted.dtype)
+        else:
+            uh, ul, cnt, nu, n_inv, n_amb = out
+        dev_invalid = dev_invalid + n_inv.astype(jnp.int32)
+        dev_ambig = dev_ambig + n_amb.astype(jnp.int32)
+        uh, ul, cnt = compact_counts(uh, ul, cnt)
+        bcap = _next_pow2(max(int(nu), 1))  # scalar fetch per chunk
+        stack.push((uh[:bcap], ul[:bcap], cnt[:bcap]))
+
+    # software double-buffer: chunk c+1's host prep + dispatch enqueue
+    # before chunk c's nu fetch, overlapping the ~26 ms remote round trip
+    # and the host copy with device compute
+    pending = None
     for start in starts:
         chunk = arr[start : start + config.chunk_size]
         pad = 0
@@ -291,24 +313,26 @@ def canonical_count_bytes(
             out = _chunk_count_checked(jnp.asarray(chunk), K, use_pallas)
         else:
             out = _chunk_count(jnp.asarray(chunk), K, use_pallas)
-        if track:
-            uh, ul, cnt, nu, n_inv, n_amb, n_val, n_cnt = out
-            dev_valid = dev_valid + n_val.astype(dev_valid.dtype)
-            dev_counted = dev_counted + n_cnt.astype(dev_counted.dtype)
-        else:
-            uh, ul, cnt, nu, n_inv, n_amb = out
-        dev_invalid = dev_invalid + n_inv.astype(jnp.int32)
-        dev_ambig = dev_ambig + n_amb.astype(jnp.int32)
         total_pad += pad
         if len(starts) == 1:
             # single dispatch: no merge, no compaction needed (the host
             # extraction below masks counts > 0) and no scalar fetch —
             # keeps the one-chunk hot path fully asynchronous
+            if track:
+                uh, ul, cnt, nu, n_inv, n_amb, n_val, n_cnt = out
+                dev_valid = dev_valid + n_val.astype(dev_valid.dtype)
+                dev_counted = dev_counted + n_cnt.astype(dev_counted.dtype)
+            else:
+                uh, ul, cnt, nu, n_inv, n_amb = out
+            dev_invalid = dev_invalid + n_inv.astype(jnp.int32)
+            dev_ambig = dev_ambig + n_amb.astype(jnp.int32)
             acc = (uh, ul, cnt)
             break
-        uh, ul, cnt = compact_counts(uh, ul, cnt)
-        bcap = _next_pow2(max(int(nu), 1))  # scalar fetch per chunk
-        stack.push((uh[:bcap], ul[:bcap], cnt[:bcap]))
+        if pending is not None:
+            _drain(pending)
+        pending = out
+    if pending is not None and acc is None:
+        _drain(pending)
 
     if acc is None and len(stack):
         acc = stack.fold()
