@@ -55,6 +55,10 @@ class SixFrameCountConfig:
     #: canonical pipeline — gigabase inputs never need a whole-slab
     #: dispatch.  K <= 7 only (multi-limb slabs still dispatch whole).
     chunk_size: int = 1 << 24
+    #: split FE | sort dispatch + fused Pallas RLE (None = auto: TPU only).
+    use_pallas: bool | None = None
+    #: run the RLE kernel in interpreter mode (CPU testing of that path).
+    pallas_interpret: bool = False
 
     def __post_init__(self):
         if not 1 <= self.K <= 32:
@@ -226,14 +230,109 @@ def _sixframe_local_body(rows, pad3, K: int, tbl, checked: bool):
     return out
 
 
+def _sixframe_fe_body(rows, pad3, K: int, tbl):
+    """Per-device six-frame front-end only (dispatch 1 of the split
+    local count): frame windows with invalid/unowned windows already
+    sentinelized, returned as 1-D streams (P(axis) out specs — a (1, n)
+    row would pay the rank-2 tiled-layout relayout in the sort program,
+    see ``pipeline._fe_body``)."""
+    from ..ops.count import SENTINEL
+
+    data = rows[0]
+    p3 = pad3[0]
+    H = 3 * K
+    body_len = data.shape[0] - 2 * H
+    codes, certain, _ambig = classify_2bit(data)
+    rc_codes = (codes ^ 3)[::-1]
+    rc_certain = certain[::-1]
+    frames = _frame_windows(codes, certain, K, H, H + body_len - p3, tbl)
+    frames += _frame_windows(
+        rc_codes, rc_certain, K, H + p3, H + body_len, tbl
+    )
+    hi = jnp.concatenate([f[0] for f in frames])
+    lo = jnp.concatenate([f[1] for f in frames])
+    valid = jnp.concatenate([f[2] for f in frames])
+    sent = jnp.asarray(SENTINEL, _U32)
+    hi = jnp.where(valid, hi, sent)
+    lo = jnp.where(valid, lo, sent)
+    n_valid = jnp.sum(valid, dtype=_I32)
+    return hi, lo, n_valid[None]
+
+
 import functools
 
 
 @functools.lru_cache(maxsize=64)
-def _sixframe_local_step(
-    mesh: Mesh, K: int, tbl_bytes: bytes, checked: bool = False
+def _sixframe_fe_step(mesh: Mesh, K: int, tbl_bytes: bytes):
+    axis = mesh.axis_names[0]
+    tbl = np.frombuffer(tbl_bytes, np.uint8)
+    mapped = jax.shard_map(
+        partial(_sixframe_fe_body, K=K, tbl=tbl),
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None)),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _sixframe_tail_step(
+    mesh: Mesh, K: int, interpret: bool, checked: bool = False
 ):
-    """Cached jitted per-chunk local count (no exchange) for streaming."""
+    """Sort + fused Pallas RLE for the sentinelized AA window streams
+    (dispatch 2 of the split local count)."""
+    axis = mesh.axis_names[0]
+
+    def body(hi, lo):
+        uh, ul, cnt, nu = sort_count(
+            hi, lo, None, use_pallas=True, interpret=interpret,
+            key_bits=8 * K,
+        )
+        out = (uh[None], ul[None], cnt[None], nu[None])
+        if checked:
+            out = out + (jnp.sum(cnt, dtype=_I32)[None],)
+        return out
+
+    spec = P(axis, None)
+    outs = (spec, spec, spec, P(axis))
+    if checked:
+        outs = outs + (P(axis),)
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=outs,
+        check_vma=False,  # fused Pallas RLE
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _sixframe_local_step(
+    mesh: Mesh,
+    K: int,
+    tbl_bytes: bytes,
+    checked: bool = False,
+    use_pallas: bool = False,
+    interpret: bool = False,
+):
+    """Cached per-chunk local count (no exchange) for streaming.
+
+    With ``use_pallas``: TWO dispatches (FE | sort+RLE) so the sort gets
+    its own program — the same relayout recovery as the flagship
+    (``pipelines.canonical_count._chunk_count_u32``) — and the RLE runs
+    as the fused Mosaic kernel.  Output order matches the jnp form:
+    (uh, ul, cnt, nu, n_valid[, n_cnt])."""
+    if use_pallas:
+        fe = _sixframe_fe_step(mesh, K, tbl_bytes)
+        tail = _sixframe_tail_step(mesh, K, interpret, checked)
+
+        def step(rows, pad3):
+            hi, lo, n_valid = fe(rows, pad3)
+            out = tail(hi, lo)
+            return (*out[:4], n_valid, *out[4:])
+
+        return step
     axis = mesh.axis_names[0]
     tbl = np.frombuffer(tbl_bytes, np.uint8)
     body = partial(_sixframe_local_body, K=K, tbl=tbl, checked=checked)
@@ -424,6 +523,11 @@ def _streamed_sixframe_count(
     K = config.K
     H = 3 * K
     checked = checked_mode()
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        if config.use_pallas is None
+        else config.use_pallas
+    )
 
     # chunk body length: multiple of 3, covers the slab in equal rows
     B = min(config.chunk_size - config.chunk_size % 3, shard)
@@ -431,7 +535,9 @@ def _streamed_sixframe_count(
     n_chunks = -(-shard // B)
     row_len = B + 2 * H
 
-    count = _sixframe_local_step(mesh, K, tbl_bytes, checked)
+    count = _sixframe_local_step(
+        mesh, K, tbl_bytes, checked, use_pallas, config.pallas_interpret
+    )
     compact = _compact_step(mesh)
     merge = _merge_step(mesh)
 

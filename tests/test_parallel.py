@@ -249,6 +249,35 @@ class TestSixFrame:
             int(k): v for k, v in oracle.items()
         }
 
+    @pytest.mark.parametrize("n_dev", [1, 4])
+    def test_split_pallas_path_parity(self, n_dev):
+        # the TPU split-dispatch form (FE | sort + Mosaic RLE) through
+        # the interpreter, vs the jnp single-program form
+        from kmers_tpu.parallel.sixframe import (
+            SixFrameCountConfig,
+            sharded_sixframe_aa_count,
+        )
+
+        rng = np.random.default_rng(31)
+        s = "".join("ACGTN"[i] for i in rng.integers(0, 5, 5000))
+        K = 5
+        jnp_out = sharded_sixframe_aa_count(
+            s, SixFrameCountConfig(K=K, chunk_size=1200), data_mesh(n_dev)
+        )
+        pl_out = sharded_sixframe_aa_count(
+            s,
+            SixFrameCountConfig(
+                K=K, chunk_size=1200, use_pallas=True, pallas_interpret=True
+            ),
+            data_mesh(n_dev),
+        )
+        assert np.array_equal(jnp_out[0], pl_out[0])
+        assert np.array_equal(jnp_out[1], pl_out[1])
+        oracle = self._oracle(s, K)
+        assert dict(zip(pl_out[0].tolist(), pl_out[1].tolist())) == {
+            int(k): v for k, v in oracle.items()
+        }
+
     def test_streamed_checked_and_metrics(self):
         from kmers_tpu.parallel.sixframe import (
             SixFrameCountConfig,

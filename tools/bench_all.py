@@ -259,7 +259,6 @@ def main():
     from kmers_tpu.parallel import data_mesh
     from kmers_tpu.parallel.sixframe import (
         SixFrameCountConfig,
-        _sixframe_step,
         sharded_sixframe_aa_count,
     )
 
@@ -270,19 +269,28 @@ def main():
     if on_tpu:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from kmers_tpu.parallel.sixframe import _sixframe_local_step
+
+        # time the streamed driver's per-chunk local step (the hot loop
+        # of the public API: FE + sort/RLE; the exchange runs once per
+        # input and the 1-device exchange is the identity)
         H6 = 3 * cfg.K
         shard6 = L6 + ((-L6) % 3)
         padded6 = np.zeros(shard6 + H6, np.uint8)
         padded6[:L6] = arr6
         shards6 = np.zeros((1, shard6 + 2 * H6), np.uint8)
         shards6[0, H6 : H6 + shard6 + H6] = padded6
-        cap6 = int(np.ceil(2 * shard6 * cfg.bucket_factor))
         tbl_bytes = bytes(np.asarray(cfg.code.tbl).tobytes())
-        stepf6 = _sixframe_step(mesh, cfg.K, cap6, tbl_bytes)
+        stepf6 = _sixframe_local_step(
+            mesh, cfg.K, tbl_bytes, False, True, False
+        )
         sharding6 = NamedSharding(mesh, P(mesh.axis_names[0], None))
         arg6 = jax.device_put(shards6, sharding6)
+        pad36 = np.zeros(1, np.int32)
         emit(
-            "sixframe_aa7_sharded_count", L6, _timeit(stepf6, arg6, reps=4)
+            "sixframe_aa7_sharded_count",
+            L6,
+            _timeit(stepf6, arg6, pad36, reps=4),
         )
     else:
         s6 = bytes(arr6.tobytes())
