@@ -368,6 +368,225 @@ def _sixframe_step(mesh: Mesh, K: int, cap: int, tbl_bytes: bytes):
     return jax.jit(mapped)
 
 
+def _sixframe_local_body_mw(rows, pad3, K: int, tbl, checked: bool):
+    """Multi-limb twin of :func:`_sixframe_local_body` (K > 7 amino
+    acids) — per-chunk frame windows + M-limb sort/RLE, no exchange."""
+    from ..ops.multiword import sort_count_mw
+
+    data = rows[0]
+    p3 = pad3[0]
+    H = 3 * K
+    body_len = data.shape[0] - 2 * H
+    codes, certain, _ambig = classify_2bit(data)
+    rc_codes = (codes ^ 3)[::-1]
+    rc_certain = certain[::-1]
+    frames = _frame_windows_mw(codes, certain, K, H, H + body_len - p3, tbl)
+    frames += _frame_windows_mw(
+        rc_codes, rc_certain, K, H + p3, H + body_len, tbl
+    )
+    M = len(frames[0][0])
+    limbs = tuple(
+        jnp.concatenate([f[0][m] for f in frames]) for m in range(M)
+    )
+    valid = jnp.concatenate([f[1] for f in frames])
+    ulimbs, cnt, nu = sort_count_mw(limbs, valid)
+    n_valid = jnp.sum(valid, dtype=_I32)
+    out = (
+        tuple(x[None] for x in ulimbs),
+        cnt[None],
+        nu[None],
+        n_valid[None],
+    )
+    if checked:
+        out = out + (jnp.sum(cnt, dtype=_I32)[None],)
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _sixframe_local_step_mw(
+    mesh: Mesh, K: int, tbl_bytes: bytes, checked: bool = False
+):
+    from ..ops.multiword import n_limbs
+
+    axis = mesh.axis_names[0]
+    M = n_limbs(K, bps=8)
+    tbl = np.frombuffer(tbl_bytes, np.uint8)
+    body = partial(_sixframe_local_body_mw, K=K, tbl=tbl, checked=checked)
+    spec = P(axis, None)
+    outs = (tuple(spec for _ in range(M)), spec, P(axis), P(axis))
+    if checked:
+        outs = outs + (P(axis),)
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None)),
+        out_specs=outs,
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _compact_step_mw(mesh: Mesh, M: int):
+    from ..ops.multiword import compact_counts_mw
+
+    axis = mesh.axis_names[0]
+
+    def body(*args):
+        limbs = tuple(x[0] for x in args[:M])
+        cnt = args[M][0]
+        ol, oc = compact_counts_mw(limbs, cnt)
+        return tuple(x[None] for x in ol) + (oc[None],)
+
+    spec = P(axis, None)
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec,) * (M + 1),
+        out_specs=(spec,) * (M + 1),
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _merge_step_mw(mesh: Mesh, M: int):
+    from ..ops.multiword import merge_compact_tables_mw
+
+    axis = mesh.axis_names[0]
+
+    def body(*args):
+        la = tuple(x[0] for x in args[:M])
+        ca = args[M][0]
+        lb = tuple(x[0] for x in args[M + 1 : 2 * M + 1])
+        cb = args[2 * M + 1][0]
+        ol, oc, nu = merge_compact_tables_mw(la, ca, lb, cb)
+        return tuple(x[None] for x in ol) + (oc[None], nu[None])
+
+    spec = P(axis, None)
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec,) * (2 * M + 2),
+        out_specs=(spec,) * (M + 1) + (P(axis),),
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _exchange_step_mw(mesh: Mesh, M: int, cap: int):
+    from .multiword import exchange_and_merge_mw
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    def body(*args):
+        limbs = tuple(x[0] for x in args[:M])
+        cnt = args[M][0]
+        ul, c, nu, overflow = exchange_and_merge_mw(
+            limbs, cnt, n_dev, cap, axis
+        )
+        total_overflow = jax.lax.psum(overflow, axis)
+        return (
+            tuple(x[None] for x in ul)
+            + (c[None], nu[None], total_overflow[None])
+        )
+
+    spec = P(axis, None)
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec,) * (M + 1),
+        out_specs=(spec,) * (M + 1) + (P(axis), P(axis)),
+    )
+    return jax.jit(mapped)
+
+
+def _streamed_sixframe_count_mw(
+    shards: np.ndarray,
+    shard: int,
+    mesh: Mesh,
+    config: SixFrameCountConfig,
+    sharding,
+    tbl_bytes: bytes,
+):
+    """Multi-limb twin of :func:`_streamed_sixframe_count` (K > 7)."""
+    from ..ops.count import _next_pow2
+    from ..ops.multiword import n_limbs
+    from ..utils.debug import checked_mode
+    from ..utils.levelstack import LevelStack
+
+    n_dev = mesh.devices.size
+    K = config.K
+    H = 3 * K
+    M = n_limbs(K, bps=8)
+    checked = checked_mode()
+
+    B = min(config.chunk_size - config.chunk_size % 3, shard)
+    B = max(B, 3)
+    n_chunks = -(-shard // B)
+    row_len = B + 2 * H
+
+    count = _sixframe_local_step_mw(mesh, K, tbl_bytes, checked)
+    compact = _compact_step_mw(mesh, M)
+    merge = _merge_step_mw(mesh, M)
+
+    def _slice_nu(tbl, nu):
+        cap = _next_pow2(max(int(np.asarray(nu).max()), 1))
+        return tuple(x[:, :cap] for x in tbl)
+
+    stack = LevelStack(
+        lambda a, b: merge(*a, *b),
+        lambda out: _slice_nu(out[: M + 1], out[M + 1]),
+    )
+
+    dev_valid = dev_cnt = None
+
+    def _drain(out):
+        nonlocal dev_valid, dev_cnt
+        ulimbs, cnt, nu, n_valid = out[:4]
+        dev_valid = n_valid if dev_valid is None else dev_valid + n_valid
+        if checked:
+            n_cnt = out[4]
+            dev_cnt = n_cnt if dev_cnt is None else dev_cnt + n_cnt
+        packed = compact(*ulimbs, cnt)
+        stack.push(_slice_nu(packed, nu))
+
+    pending = None
+    for c in range(n_chunks):
+        rows = shards[:, c * B : c * B + row_len]
+        b_true = min(B, shard - c * B)
+        if rows.shape[1] < row_len:
+            rows = np.concatenate(
+                [rows, np.zeros((n_dev, row_len - rows.shape[1]), np.uint8)],
+                axis=1,
+            )
+        pad3 = np.asarray([B - b_true], np.int32)
+        out = count(
+            jax.device_put(np.ascontiguousarray(rows), sharding), pad3
+        )
+        if pending is not None:
+            _drain(pending)
+        pending = out
+    if pending is not None:
+        _drain(pending)
+
+    tbl = stack.fold()
+    C = tbl[0].shape[1]
+    cap = max(int(np.ceil(C * config.bucket_factor / n_dev)), 1)
+    exchange = _exchange_step_mw(mesh, M, cap)
+    out = exchange(*tbl)
+    ulimbs, cnt, _nu, overflow = out[:M], out[M], out[M + 1], out[M + 2]
+    total_valid = int(np.asarray(dev_valid).sum())
+    if checked:
+        total_counted = int(np.asarray(dev_cnt).sum())
+        if total_valid != total_counted:
+            raise RuntimeError(
+                "checked mode: count conservation violated in the "
+                f"multi-limb six-frame local count — {total_valid} valid "
+                f"windows but {total_counted} counted"
+            )
+    return ulimbs, cnt, overflow, total_valid
+
+
 @functools.lru_cache(maxsize=64)
 def _sixframe_step_mw(mesh: Mesh, K: int, cap: int, tbl_bytes: bytes):
     """Cached multi-limb SPMD step for K > 7 amino acids."""
@@ -449,10 +668,10 @@ def sharded_sixframe_aa_count(
     sharding = NamedSharding(mesh, P(axis, None))
     if K > 7:
         from ..ops.multiword import mw_to_numpy
+        from ..utils.debug import checked_mode
 
-        step = _sixframe_step_mw(mesh, K, cap, tbl_bytes)
-        ulimbs, cnt, nu, n_windows, overflow = step(
-            jax.device_put(shards, sharding)
+        ulimbs, cnt, overflow, total_valid = _streamed_sixframe_count_mw(
+            shards, shard, mesh, config, sharding, tbl_bytes
         )
         if int(np.asarray(overflow)[0]) > 0:
             raise RuntimeError(
@@ -464,8 +683,22 @@ def sharded_sixframe_aa_count(
             tuple(np.asarray(x).reshape(-1)[keep] for x in ulimbs)
         )
         cnt = cnt[keep].astype(np.int64)
+        if checked_mode() and int(cnt.sum()) != total_valid:
+            raise RuntimeError(
+                "checked mode: count conservation violated across the "
+                f"multi-limb six-frame exchange — {total_valid} valid "
+                f"windows but {int(cnt.sum())} in the merged table"
+            )
         order = np.argsort([int(v) for v in kmers], kind="stable")
-        return kmers[order], cnt[order]
+        kmers, cnt = kmers[order], cnt[order]
+        if metrics is not None:
+            metrics.end_batch(
+                bases_in=L,
+                windows_out=int(cnt.sum()),
+                windows_skipped=total_valid - int(cnt.sum()),
+                distinct_kmers=int(kmers.shape[0]),
+            )
+        return kmers, cnt
     uh, ul, cnt, overflow, total_valid = _streamed_sixframe_count(
         shards, shard, mesh, config, sharding, tbl_bytes
     )

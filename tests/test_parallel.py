@@ -224,6 +224,33 @@ class TestSixFrame:
         want = 2 * sum((len(s) - f) // 3 - K + 1 for f in range(3))
         assert counts.sum() == want
 
+    @pytest.mark.parametrize("n_dev", [1, 4])
+    def test_multilimb_streamed_multichunk_parity(self, n_dev):
+        # K > 7 (multi-limb) through the streamed level-stack path,
+        # >= 3 chunks per device, vs big-chunk and the scalar oracle
+        from kmers_tpu.parallel.sixframe import (
+            SixFrameCountConfig,
+            sharded_sixframe_aa_count,
+        )
+        from kmers_tpu.utils import checked
+
+        rng = np.random.default_rng(41)
+        s = "".join("ACGTN"[i] for i in rng.integers(0, 5, 8000))
+        K = 11
+        big = sharded_sixframe_aa_count(
+            s, SixFrameCountConfig(K=K), data_mesh(n_dev)
+        )
+        with checked():
+            small = sharded_sixframe_aa_count(
+                s, SixFrameCountConfig(K=K, chunk_size=600), data_mesh(n_dev)
+            )
+        assert [int(k) for k in big[0]] == [int(k) for k in small[0]]
+        assert np.array_equal(big[1], small[1])
+        oracle = self._oracle(s, K)
+        assert dict(
+            zip([int(k) for k in small[0]], small[1].tolist())
+        ) == {int(k): v for k, v in oracle.items()}
+
     @pytest.mark.parametrize("n_dev", [1, 8])
     def test_streamed_multichunk_parity(self, n_dev):
         # >= 3 chunks per device through the level-stack; chunk bodies
