@@ -135,13 +135,20 @@ def cmd_verify(args):
 
 
 def cmd_sketch(args):
-    from .pipelines.canonical_count import join_records_with_n
-    from .pipelines.minhash import minhash_sketch
+    if getattr(args, "stream", False):
+        # never loads the file: chunked mergeable sketching
+        # (pipelines/minhash.py StreamingSketcher)
+        from .pipelines.minhash import sketch_fastx_stream
 
-    seq, off = _load(args.input)
-    sk = minhash_sketch(
-        join_records_with_n(seq, off).tobytes(), K=args.k, s=args.size
-    )
+        sk = sketch_fastx_stream(args.input, K=args.k, s=args.size)
+    else:
+        from .pipelines.canonical_count import join_records_with_n
+        from .pipelines.minhash import minhash_sketch
+
+        seq, off = _load(args.input)
+        sk = minhash_sketch(
+            join_records_with_n(seq, off).tobytes(), K=args.k, s=args.size
+        )
     # header records the sketch parameters so `dist` can validate -k
     print(f"#kmers_tpu sketch k={args.k} s={args.size}")
     for h in sk:
@@ -297,6 +304,11 @@ def main(argv=None):
     s.add_argument("input")
     s.add_argument("-k", type=int, default=16)
     s.add_argument("-s", "--size", type=int, default=1000)
+    s.add_argument(
+        "--stream", action="store_true",
+        help="stream the file in record batches instead of loading it "
+        "(files larger than host memory)",
+    )
     s.set_defaults(fn=cmd_sketch)
 
     d = sub.add_parser(

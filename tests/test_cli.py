@@ -75,6 +75,14 @@ def test_dist(fasta, tmp_path, capsys):
     assert out["mash_distance"] == 0.0
 
 
+def test_sketch_stream_matches_loaded(fasta, capsys):
+    run_cli("sketch", fasta, "-k", "11", "-s", "20")
+    loaded = capsys.readouterr().out
+    run_cli("sketch", fasta, "-k", "11", "-s", "20", "--stream")
+    streamed = capsys.readouterr().out
+    assert streamed == loaded
+
+
 def test_dist_k_mismatch_rejected(fasta, tmp_path, capsys):
     import pytest
 
