@@ -202,6 +202,7 @@ class StreamingSketcher:
         s: int = 1000,
         chunk_size: int = 1 << 24,
         use_pallas: bool | None = None,
+        metrics=None,
     ):
         if chunk_size < K:
             raise ValueError("chunk_size must be >= K")
@@ -211,7 +212,11 @@ class StreamingSketcher:
         )
         self._sketch = np.zeros(0, np.uint64)
         self._bases = 0
+        self._windows = 0
         self._done = False
+        self.metrics = metrics
+        if metrics is not None:
+            metrics.start_batch()
 
     def update(self, seq_bytes, offsets=None):
         """Sketch one record batch.  ``offsets`` (optional int64 CSR
@@ -230,6 +235,7 @@ class StreamingSketcher:
         self._bases += L
         if L < K:
             return
+        self._windows += L - K + 1
         # K-1-byte overlap so windows spanning chunk boundaries appear in
         # exactly one chunk's window set (duplicates would be harmless —
         # sketches are sets — but the overlap keeps coverage exact)
@@ -254,6 +260,13 @@ class StreamingSketcher:
 
     def finalize(self) -> np.ndarray:
         self._done = True
+        if self.metrics is not None:
+            self.metrics.end_batch(
+                bases_in=self._bases,
+                windows_out=self._windows,
+                windows_skipped=0,
+                distinct_kmers=int(self._sketch.size),
+            )
         return self._sketch
 
 

@@ -216,6 +216,20 @@ class TestMinhash:
             sk.finalize(), minhash_sketch(s, K=8, s=16)
         )
 
+    def test_streaming_metrics(self, rng):
+        from kmers_tpu.pipelines.minhash import StreamingSketcher
+        from kmers_tpu.utils import Metrics
+
+        m = Metrics()
+        s = "".join("ACGT"[i] for i in rng.integers(0, 4, 5000))
+        sk = StreamingSketcher(K=16, s=50, chunk_size=2048, metrics=m)
+        sk.update(s.encode())
+        out = sk.finalize()
+        stats = m.batches[-1]
+        assert stats.bases_in == 5000
+        assert stats.windows_out == 5000 - 16 + 1
+        assert stats.distinct_kmers == out.size == 50
+
     def test_sketch_fastx_stream(self, rng, tmp_path):
         from kmers_tpu.pipelines.minhash import sketch_fastx_stream
 
