@@ -33,8 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..genetic_codes import GeneticCode, standard_genetic_code
 from ..ops.count import sort_count
 from ..ops.encode import classify_2bit, lookup_bytes
-from ..ops.stride import stride_select
-from ..ops.windows import windows_from_codes, window_valid_mask
+from ..ops.windows import window_valid_mask
 from .mesh import data_mesh
 from .pipeline import exchange_and_merge
 
@@ -70,69 +69,79 @@ class SixFrameCountConfig:
             raise ValueError("chunk_size must be >= 6*K bases")
 
 
-def _frame_windows(codes, certain, K: int, own_lo, own_hi, tbl):
-    """AA kmer windows + validity for frames 0,1,2 of one strand stream.
+def _aa_stream(codes, tbl):
+    """AA encoding of the codon starting at EVERY base position (uint32;
+    entries within 2 of the stream end are garbage — callers' window
+    spans never reach them)."""
+    c1 = jnp.concatenate([codes[1:], jnp.zeros(1, codes.dtype)])
+    c2 = jnp.concatenate([codes[2:], jnp.zeros(2, codes.dtype)])
+    cod_full = (codes << 4) | (c1 << 2) | c2
+    # gather-free codon->AA lookup (jnp.take measured 42 ms per
+    # 5.6M codons on v5e; random gathers serialize on TPU)
+    return lookup_bytes(tbl, cod_full).astype(_U32)
 
-    ``codes``/``certain`` cover [body-H, body+shard+H) in stream
-    coordinates; a window is emitted iff its codon start lies in the
-    ownership span [own_lo, own_hi) — the body — and all 3K bases are
-    certain.  The bounds may be traced i32 scalars (the streamed driver
-    clips the tail chunk's body dynamically so one compiled program
-    serves every chunk).
+
+def _aa_windows_step3(aa, K: int):
+    """(hi, lo) AA K-mer registers for the window starting at EVERY base
+    position p (codons at p, p+3, ..., p+3(K-1); earliest codon in the
+    highest bits).
+
+    This is the key six-frame identity: the union over the three codon
+    frames of one strand is exactly the set of windows at every base
+    position, so no per-frame phase selection is needed — each source
+    shift ``aa[3k:]`` is a stride-1 offset slice, not a strided read.
+    (The previous per-frame form paid 6 MXU stride_selects + 6 lookup
+    trees per strand pair: ~140 ms of the 199 ms/2^24 six-frame chunk.)
     """
-    span = 3 * K
-    base_valid = window_valid_mask(certain, span)  # per base position
-    bv32 = base_valid.astype(_U32)
-    # one contiguous codon stream for all three frames, then per-frame
-    # phase selection on the MXU (ops/stride.py): the old per-frame
-    # reshape(n,3)+column-slice pattern cost 42 ms/frame per 2^24 on
-    # v5e (strided reads through an 18x-inflated (n,3) tiled layout)
-    n = codes.shape[0]
-    c1 = jnp.concatenate([codes[1:], jnp.zeros(1, codes.dtype)])
-    c2 = jnp.concatenate([codes[2:], jnp.zeros(2, codes.dtype)])
-    cod_full = (codes << 4) | (c1 << 2) | c2
-    outs = []
-    for f in range(3):
-        n_aa = (n - f) // 3
-        codons = stride_select(cod_full, 3, offset=f, n_out=n_aa)
-        # gather-free codon->AA lookup (jnp.take measured 42 ms per
-        # 5.6M codons on v5e; random gathers serialize on TPU)
-        aa = lookup_bytes(tbl, codons).astype(_U32)
-        hi, lo = windows_from_codes(aa, K, bps=8)
-        n_win = hi.shape[0]
-        # window j starts at base position f + 3j
-        starts = f + 3 * jnp.arange(n_win, dtype=_I32)
-        v = stride_select(bv32, 3, offset=f, n_out=n_win) != 0
-        own = (starts >= own_lo) & (starts < own_hi)
-        outs.append((hi, lo, v & own))
-    return outs
+    n = aa.shape[0]
+    n_win = max(n - 3 * K + 1, 0)
+    hi = jnp.zeros(n_win, _U32)
+    lo = jnp.zeros(n_win, _U32)
+    for k in range(K):
+        a = jax.lax.dynamic_slice_in_dim(aa, 3 * k, n_win)
+        hi = (hi << 8) | (lo >> 24)
+        lo = (lo << 8) | a
+    return hi, lo
 
 
-def _frame_windows_mw(codes, certain, K: int, own_lo, own_hi, tbl):
-    """Multi-limb twin of :func:`_frame_windows` for K > 7 amino acids
-    (8 bits/symbol -> M = ceil(K/4) uint32 limbs, the reference's
+def _aa_windows_step3_mw(aa, K: int):
+    """Multi-limb twin of :func:`_aa_windows_step3` for K > 7 amino
+    acids (M = ceil(8K/32) uint32 limbs, big-endian — the reference's
     multi-word AA kmers, /root/reference/src/kmer.jl:82)."""
-    from ..ops.multiword import windows_mw
+    n = aa.shape[0]
+    n_win = max(n - 3 * K + 1, 0)
+    M = max(-(-8 * K // 32), 1)
+    limbs = [jnp.zeros(n_win, _U32) for _ in range(M)]
+    for k in range(K):
+        a = jax.lax.dynamic_slice_in_dim(aa, 3 * k, n_win)
+        for j in range(M - 1):
+            limbs[j] = (limbs[j] << 8) | (limbs[j + 1] >> 24)
+        limbs[M - 1] = (limbs[M - 1] << 8) | a
+    return tuple(limbs)
 
-    span = 3 * K
-    base_valid = window_valid_mask(certain, span)
-    bv32 = base_valid.astype(_U32)
-    n = codes.shape[0]
-    c1 = jnp.concatenate([codes[1:], jnp.zeros(1, codes.dtype)])
-    c2 = jnp.concatenate([codes[2:], jnp.zeros(2, codes.dtype)])
-    cod_full = (codes << 4) | (c1 << 2) | c2
-    outs = []
-    for f in range(3):
-        n_aa = (n - f) // 3
-        codons = stride_select(cod_full, 3, offset=f, n_out=n_aa)
-        aa = lookup_bytes(tbl, codons).astype(_U32)
-        limbs = windows_mw(aa, K, bps=8)
-        n_win = limbs[0].shape[0]
-        starts = f + 3 * jnp.arange(n_win, dtype=_I32)
-        v = stride_select(bv32, 3, offset=f, n_out=n_win) != 0
-        own = (starts >= own_lo) & (starts < own_hi)
-        outs.append((limbs, v & own))
-    return outs
+
+def _strand_windows(codes, certain, K: int, own_lo, own_hi, tbl):
+    """AA kmer windows + validity for ONE strand stream, all frames at
+    once (see :func:`_aa_windows_step3`).  A window is emitted iff its
+    start lies in the ownership span [own_lo, own_hi) — the body — and
+    all 3K bases are certain.  The bounds may be traced i32 scalars (the
+    streamed driver clips the tail chunk's body dynamically so one
+    compiled program serves every chunk)."""
+    aa = _aa_stream(codes, tbl)
+    hi, lo = _aa_windows_step3(aa, K)
+    valid = window_valid_mask(certain, 3 * K)
+    starts = jnp.arange(hi.shape[0], dtype=_I32)
+    own = (starts >= own_lo) & (starts < own_hi)
+    return hi, lo, valid & own
+
+
+def _strand_windows_mw(codes, certain, K: int, own_lo, own_hi, tbl):
+    aa = _aa_stream(codes, tbl)
+    limbs = _aa_windows_step3_mw(aa, K)
+    valid = window_valid_mask(certain, 3 * K)
+    starts = jnp.arange(limbs[0].shape[0], dtype=_I32)
+    own = (starts >= own_lo) & (starts < own_hi)
+    return limbs, valid & own
 
 
 def _sixframe_body_mw(shard_bytes, K: int, n_dev: int, cap: int, axis: str, tbl):
@@ -146,14 +155,13 @@ def _sixframe_body_mw(shard_bytes, K: int, n_dev: int, cap: int, axis: str, tbl)
     rc_codes = (codes ^ 3)[::-1]
     rc_certain = certain[::-1]
 
-    frames = _frame_windows_mw(codes, certain, K, H, H + shard, tbl)
-    frames += _frame_windows_mw(rc_codes, rc_certain, K, H, H + shard, tbl)
-
-    M = len(frames[0][0])
+    fw_limbs, fw_valid = _strand_windows_mw(codes, certain, K, H, H + shard, tbl)
+    rv_limbs, rv_valid = _strand_windows_mw(rc_codes, rc_certain, K, H, H + shard, tbl)
+    M = len(fw_limbs)
     limbs = tuple(
-        jnp.concatenate([f[0][m] for f in frames]) for m in range(M)
+        jnp.concatenate([fw_limbs[m], rv_limbs[m]]) for m in range(M)
     )
-    valid = jnp.concatenate([f[1] for f in frames])
+    valid = jnp.concatenate([fw_valid, rv_valid])
     ulimbs, cnt, _ = sort_count_mw(limbs, valid)
     ulimbs, cnt, nu, overflow = exchange_and_merge_mw(
         ulimbs, cnt, n_dev, cap, axis
@@ -178,12 +186,11 @@ def _sixframe_body(shard_bytes, K: int, n_dev: int, cap: int, axis: str, tbl):
     rc_codes = (codes ^ 3)[::-1]
     rc_certain = certain[::-1]
 
-    frames = _frame_windows(codes, certain, K, H, H + shard, tbl)
-    frames += _frame_windows(rc_codes, rc_certain, K, H, H + shard, tbl)
-
-    hi = jnp.concatenate([f[0] for f in frames])
-    lo = jnp.concatenate([f[1] for f in frames])
-    valid = jnp.concatenate([f[2] for f in frames])
+    fh, fl, fv = _strand_windows(codes, certain, K, H, H + shard, tbl)
+    rh, rl, rv = _strand_windows(rc_codes, rc_certain, K, H, H + shard, tbl)
+    hi = jnp.concatenate([fh, rh])
+    lo = jnp.concatenate([fl, rl])
+    valid = jnp.concatenate([fv, rv])
 
     uh, ul, cnt, _ = sort_count(hi, lo, valid, key_bits=8 * K)
     uh, ul, cnt, nu, overflow = exchange_and_merge(uh, ul, cnt, n_dev, cap, axis)
@@ -215,13 +222,13 @@ def _sixframe_local_body(rows, pad3, K: int, tbl, checked: bool):
     codes, certain, _ambig = classify_2bit(data)
     rc_codes = (codes ^ 3)[::-1]
     rc_certain = certain[::-1]
-    frames = _frame_windows(codes, certain, K, H, H + body_len - p3, tbl)
-    frames += _frame_windows(
+    fh, fl, fv = _strand_windows(codes, certain, K, H, H + body_len - p3, tbl)
+    rh, rl, rv = _strand_windows(
         rc_codes, rc_certain, K, H + p3, H + body_len, tbl
     )
-    hi = jnp.concatenate([f[0] for f in frames])
-    lo = jnp.concatenate([f[1] for f in frames])
-    valid = jnp.concatenate([f[2] for f in frames])
+    hi = jnp.concatenate([fh, rh])
+    lo = jnp.concatenate([fl, rl])
+    valid = jnp.concatenate([fv, rv])
     uh, ul, cnt, nu = sort_count(hi, lo, valid, key_bits=8 * K)
     n_valid = jnp.sum(valid, dtype=_I32)
     out = (uh[None], ul[None], cnt[None], nu[None], n_valid[None])
@@ -245,13 +252,13 @@ def _sixframe_fe_body(rows, pad3, K: int, tbl):
     codes, certain, _ambig = classify_2bit(data)
     rc_codes = (codes ^ 3)[::-1]
     rc_certain = certain[::-1]
-    frames = _frame_windows(codes, certain, K, H, H + body_len - p3, tbl)
-    frames += _frame_windows(
+    fh, fl, fv = _strand_windows(codes, certain, K, H, H + body_len - p3, tbl)
+    rh, rl, rv = _strand_windows(
         rc_codes, rc_certain, K, H + p3, H + body_len, tbl
     )
-    hi = jnp.concatenate([f[0] for f in frames])
-    lo = jnp.concatenate([f[1] for f in frames])
-    valid = jnp.concatenate([f[2] for f in frames])
+    hi = jnp.concatenate([fh, rh])
+    lo = jnp.concatenate([fl, rl])
+    valid = jnp.concatenate([fv, rv])
     sent = jnp.asarray(SENTINEL, _U32)
     hi = jnp.where(valid, hi, sent)
     lo = jnp.where(valid, lo, sent)
@@ -380,15 +387,17 @@ def _sixframe_local_body_mw(rows, pad3, K: int, tbl, checked: bool):
     codes, certain, _ambig = classify_2bit(data)
     rc_codes = (codes ^ 3)[::-1]
     rc_certain = certain[::-1]
-    frames = _frame_windows_mw(codes, certain, K, H, H + body_len - p3, tbl)
-    frames += _frame_windows_mw(
+    fw_limbs, fw_valid = _strand_windows_mw(
+        codes, certain, K, H, H + body_len - p3, tbl
+    )
+    rv_limbs, rv_valid = _strand_windows_mw(
         rc_codes, rc_certain, K, H + p3, H + body_len, tbl
     )
-    M = len(frames[0][0])
+    M = len(fw_limbs)
     limbs = tuple(
-        jnp.concatenate([f[0][m] for f in frames]) for m in range(M)
+        jnp.concatenate([fw_limbs[m], rv_limbs[m]]) for m in range(M)
     )
-    valid = jnp.concatenate([f[1] for f in frames])
+    valid = jnp.concatenate([fw_valid, rv_valid])
     ulimbs, cnt, nu = sort_count_mw(limbs, valid)
     n_valid = jnp.sum(valid, dtype=_I32)
     out = (

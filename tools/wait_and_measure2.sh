@@ -1,0 +1,32 @@
+#!/bin/bash
+# Wait for TPU recovery, run round6b, then bench_all + bench.py.
+# Probe times the SECOND execution (first includes ~20-40s compile).
+cd /root/repo
+for i in $(seq 1 70); do
+  out=$(timeout 300 python -c "
+import time, numpy as np, jax, jax.numpy as jnp
+def op(): return (jnp.arange(1<<18, dtype=jnp.uint32)+jnp.uint32(7)).sum()
+int(np.asarray(op()))
+t0=time.perf_counter(); int(np.asarray(op())); dt=time.perf_counter()-t0
+print('PROBE', round(dt,2))
+" 2>/dev/null | grep PROBE)
+  echo "probe $i: $out"
+  secs=$(echo "$out" | awk '{print int($2)}')
+  if [ -n "$secs" ] && [ "$secs" -le 2 ]; then
+    echo "running round6b"
+    timeout 3000 python tools/tpu_round6b.py 2>&1 | grep -v WARNING | tee TPU_ROUND6B.out
+    if grep -q '"done": "round6b"' TPU_ROUND6B.out; then
+      echo "running bench_all"
+      timeout 3600 python tools/bench_all.py 2>&1 | grep -v WARNING | tail -3
+      echo "running bench.py"
+      timeout 1200 python bench.py 2>&1 | grep -v WARNING | tail -1 | tee BENCH_SELF.out
+      echo "ALL_DONE"
+      exit 0
+    else
+      echo "round6b aborted; retrying after sleep"
+    fi
+  fi
+  sleep 200
+done
+echo "GAVE_UP"
+exit 1
