@@ -130,10 +130,10 @@ def _local_count_body(
         if checked:
             n_valid = jnp.sum(valid, dtype=_I32)
     if not checked:
-        return uh[None], ul[None], cnt[None], nu[None], n_bad[None]
+        return uh, ul, cnt, nu[None], n_bad[None]
     n_cnt = jnp.sum(cnt, dtype=_I32)
     return (
-        uh[None], ul[None], cnt[None], nu[None], n_bad[None],
+        uh, ul, cnt, nu[None], n_bad[None],
         n_valid[None], n_cnt[None],
     )
 
@@ -168,36 +168,41 @@ def _count_tail_body(hi, lo, K: int, interpret: bool, checked: bool = False):
         key_bits=2 * K,
     )
     if not checked:
-        return uh[None], ul[None], cnt[None], nu[None]
+        return uh, ul, cnt, nu[None]
     from ..ops.count import SENTINEL
 
     sent = jnp.asarray(SENTINEL, jnp.uint32)
     n_valid = jnp.sum((hi != sent) | (lo != sent), dtype=_I32)
     n_cnt = jnp.sum(cnt, dtype=_I32)
-    return uh[None], ul[None], cnt[None], nu[None], n_valid[None], n_cnt[None]
+    return uh, ul, cnt, nu[None], n_valid[None], n_cnt[None]
 
 
 def _compact_body(uh, ul, cnt):
-    """Front-pack each device's rows (gather-free log-shift compaction)."""
-    uh2, ul2, cnt2 = compact_counts(uh[0], ul[0], cnt[0])
-    return uh2[None], ul2[None], cnt2[None]
+    """Front-pack each device's rows (gather-free log-shift compaction).
+
+    Tables cross every streamed dispatch boundary as 1-D per-device
+    streams (P(axis)): a (1, n) row gets the rank-2 (8, 128) tiled
+    layout with 7/8 sublane padding and the whole program runs in it —
+    measured 1976 ms vs ~15 ms for this compaction at 2^24 on v5e
+    (ROUND6D_r04.jsonl)."""
+    return compact_counts(uh, ul, cnt)
 
 
 def _merge_body(ah, al, ac, bh, bl, bc):
-    """Per-device bitonic merge of two compact tables (level-stack step)."""
-    uh, ul, cnt, nu = merge_compact_tables(
-        ah[0], al[0], ac[0], bh[0], bl[0], bc[0]
-    )
-    return uh[None], ul[None], cnt[None], nu[None]
+    """Per-device bitonic merge of two compact tables (level-stack step).
+    1-D boundaries — see :func:`_compact_body`."""
+    uh, ul, cnt, nu = merge_compact_tables(ah, al, ac, bh, bl, bc)
+    return uh, ul, cnt, nu[None]
 
 
 def _exchange_body(uh, ul, cnt, K: int, n_dev: int, cap: int, axis: str):
-    """Hash-prefix exchange + per-device merge of the received partitions."""
+    """Hash-prefix exchange + per-device merge of the received partitions.
+    1-D boundaries — see :func:`_compact_body`."""
     uh, ul, cnt, nu, overflow = exchange_and_merge(
-        uh[0], ul[0], cnt[0], n_dev, cap, axis
+        uh, ul, cnt, n_dev, cap, axis
     )
     total_overflow = jax.lax.psum(overflow, axis)
-    return uh[None], ul[None], cnt[None], nu[None], total_overflow[None]
+    return uh, ul, cnt, nu[None], total_overflow[None]
 
 
 def exchange_and_merge(uh, ul, cnt, n_dev: int, cap: int, axis: str):
@@ -307,7 +312,7 @@ def _fe_window_step(mesh: Mesh, K: int, interpret: bool, V: int):
 @functools.lru_cache(maxsize=64)
 def _count_tail_only_step(mesh: Mesh, K: int, interpret: bool, checked: bool = False):
     axis = mesh.axis_names[0]
-    spec = P(axis, None)
+    spec = P(axis)  # 1-D table boundaries (see _compact_body)
     outs = (spec, spec, spec, P(axis))
     if checked:
         outs = outs + (P(axis), P(axis))
@@ -348,7 +353,7 @@ def _local_count_step(
         V=V,
         checked=checked,
     )
-    spec = P(axis, None)
+    spec = P(axis)  # 1-D table boundaries (see _compact_body)
     outs = (spec, spec, spec, P(axis), P(axis))
     if checked:
         outs = outs + (P(axis), P(axis))
@@ -374,7 +379,7 @@ def _local_count_step(
 @functools.lru_cache(maxsize=64)
 def _compact_step(mesh: Mesh):
     axis = mesh.axis_names[0]
-    spec = P(axis, None)
+    spec = P(axis)  # 1-D table boundaries (see _compact_body)
     mapped = jax.shard_map(
         _compact_body,
         mesh=mesh,
@@ -390,7 +395,7 @@ def _compact_step(mesh: Mesh):
 @functools.lru_cache(maxsize=64)
 def _merge_step(mesh: Mesh):
     axis = mesh.axis_names[0]
-    spec = P(axis, None)
+    spec = P(axis)  # 1-D table boundaries (see _compact_body)
     mapped = jax.shard_map(
         _merge_body,
         mesh=mesh,
@@ -408,13 +413,12 @@ def _exchange_step(mesh: Mesh, K: int, cap: int):
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     body = partial(_exchange_body, K=K, n_dev=n_dev, cap=cap, axis=axis)
+    spec = P(axis)  # 1-D table boundaries (see _compact_body)
     mapped = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis, None)),
-        out_specs=(
-            P(axis, None), P(axis, None), P(axis, None), P(axis), P(axis),
-        ),
+        in_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec, P(axis), P(axis)),
     )
     return jax.jit(mapped)
 
@@ -463,7 +467,7 @@ def sharded_count_step(
                 res = res + (n_valid[None], n_cnt[None])
             return res
 
-        spec = P(axis, None)
+        spec = P(axis)  # 1-D table boundaries (see _compact_body)
         outs = (spec, spec, spec, P(axis), P(axis), P(axis))
         if checked:
             outs = outs + (P(axis), P(axis))
@@ -499,7 +503,7 @@ def sharded_count_step(
             res = res + (n_valid[None], n_cnt[None])
         return res
 
-    spec = P(axis, None)
+    spec = P(axis)  # 1-D table boundaries (see _compact_body)
     outs = (spec, spec, spec, P(axis), P(axis), P(axis))
     if checked:
         outs = outs + (P(axis), P(axis))
@@ -710,13 +714,17 @@ def _streamed_sharded_count(
     compact = _compact_step(mesh)
     merge = _merge_step(mesh)
 
-    # shared level-stack accumulator over sharded (n_dev, cap) tables
+    # shared level-stack accumulator over sharded tables, 1-D per device
     # (utils/levelstack.py; one scalar fetch per chunk for the capacity)
     def _slice_nu(tbl, nu):
         # uniform capacity across devices: the max distinct count (shapes
         # must agree on every device)
         cap = _next_pow2(max(int(np.asarray(nu).max()), 1))
-        return tuple(x[:, :cap] for x in tbl)
+        if n_dev == 1:
+            return tuple(x[:cap] for x in tbl)
+        return tuple(
+            x.reshape(n_dev, -1)[:, :cap].reshape(-1) for x in tbl
+        )
 
     def _merge2(a, b):
         return merge(*a, *b)
@@ -777,7 +785,7 @@ def _streamed_sharded_count(
 
     # one exchange on the final compact tables: per-destination capacity
     # tracks the per-device distinct count
-    C = tbl[0].shape[1]
+    C = tbl[0].shape[0] // n_dev
     cap = max(int(np.ceil(C * config.bucket_factor / n_dev)), 1)
     exchange = _exchange_step(mesh, K, cap)
     uh, ul, cnt, nu, overflow = exchange(*tbl)

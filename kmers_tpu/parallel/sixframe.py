@@ -231,7 +231,8 @@ def _sixframe_local_body(rows, pad3, K: int, tbl, checked: bool):
     valid = jnp.concatenate([fv, rv])
     uh, ul, cnt, nu = sort_count(hi, lo, valid, key_bits=8 * K)
     n_valid = jnp.sum(valid, dtype=_I32)
-    out = (uh[None], ul[None], cnt[None], nu[None], n_valid[None])
+    # 1-D table boundaries (see pipeline._compact_body)
+    out = (uh, ul, cnt, nu[None], n_valid[None])
     if checked:
         out = out + (jnp.sum(cnt, dtype=_I32)[None],)
     return out
@@ -295,12 +296,13 @@ def _sixframe_tail_step(
             hi, lo, None, use_pallas=True, interpret=interpret,
             key_bits=8 * K,
         )
-        out = (uh[None], ul[None], cnt[None], nu[None])
+        # 1-D table boundaries (see pipeline._compact_body)
+        out = (uh, ul, cnt, nu[None])
         if checked:
             out = out + (jnp.sum(cnt, dtype=_I32)[None],)
         return out
 
-    spec = P(axis, None)
+    spec = P(axis)
     outs = (spec, spec, spec, P(axis))
     if checked:
         outs = outs + (P(axis),)
@@ -343,7 +345,7 @@ def _sixframe_local_step(
     axis = mesh.axis_names[0]
     tbl = np.frombuffer(tbl_bytes, np.uint8)
     body = partial(_sixframe_local_body, K=K, tbl=tbl, checked=checked)
-    spec = P(axis, None)
+    spec = P(axis)  # 1-D table boundaries (see pipeline._compact_body)
     outs = (spec, spec, spec, P(axis), P(axis))
     if checked:
         outs = outs + (P(axis),)
@@ -400,12 +402,8 @@ def _sixframe_local_body_mw(rows, pad3, K: int, tbl, checked: bool):
     valid = jnp.concatenate([fw_valid, rv_valid])
     ulimbs, cnt, nu = sort_count_mw(limbs, valid)
     n_valid = jnp.sum(valid, dtype=_I32)
-    out = (
-        tuple(x[None] for x in ulimbs),
-        cnt[None],
-        nu[None],
-        n_valid[None],
-    )
+    # 1-D table boundaries (see pipeline._compact_body)
+    out = (ulimbs, cnt, nu[None], n_valid[None])
     if checked:
         out = out + (jnp.sum(cnt, dtype=_I32)[None],)
     return out
@@ -421,7 +419,7 @@ def _sixframe_local_step_mw(
     M = n_limbs(K, bps=8)
     tbl = np.frombuffer(tbl_bytes, np.uint8)
     body = partial(_sixframe_local_body_mw, K=K, tbl=tbl, checked=checked)
-    spec = P(axis, None)
+    spec = P(axis)  # 1-D table boundaries (see pipeline._compact_body)
     outs = (tuple(spec for _ in range(M)), spec, P(axis), P(axis))
     if checked:
         outs = outs + (P(axis),)
@@ -441,12 +439,10 @@ def _compact_step_mw(mesh: Mesh, M: int):
     axis = mesh.axis_names[0]
 
     def body(*args):
-        limbs = tuple(x[0] for x in args[:M])
-        cnt = args[M][0]
-        ol, oc = compact_counts_mw(limbs, cnt)
-        return tuple(x[None] for x in ol) + (oc[None],)
+        ol, oc = compact_counts_mw(tuple(args[:M]), args[M])
+        return ol + (oc,)
 
-    spec = P(axis, None)
+    spec = P(axis)  # 1-D table boundaries (see pipeline._compact_body)
     mapped = jax.shard_map(
         body,
         mesh=mesh,
@@ -463,14 +459,14 @@ def _merge_step_mw(mesh: Mesh, M: int):
     axis = mesh.axis_names[0]
 
     def body(*args):
-        la = tuple(x[0] for x in args[:M])
-        ca = args[M][0]
-        lb = tuple(x[0] for x in args[M + 1 : 2 * M + 1])
-        cb = args[2 * M + 1][0]
+        la = tuple(args[:M])
+        ca = args[M]
+        lb = tuple(args[M + 1 : 2 * M + 1])
+        cb = args[2 * M + 1]
         ol, oc, nu = merge_compact_tables_mw(la, ca, lb, cb)
-        return tuple(x[None] for x in ol) + (oc[None], nu[None])
+        return ol + (oc, nu[None])
 
-    spec = P(axis, None)
+    spec = P(axis)  # 1-D table boundaries (see pipeline._compact_body)
     mapped = jax.shard_map(
         body,
         mesh=mesh,
@@ -488,18 +484,13 @@ def _exchange_step_mw(mesh: Mesh, M: int, cap: int):
     n_dev = mesh.devices.size
 
     def body(*args):
-        limbs = tuple(x[0] for x in args[:M])
-        cnt = args[M][0]
         ul, c, nu, overflow = exchange_and_merge_mw(
-            limbs, cnt, n_dev, cap, axis
+            tuple(args[:M]), args[M], n_dev, cap, axis
         )
         total_overflow = jax.lax.psum(overflow, axis)
-        return (
-            tuple(x[None] for x in ul)
-            + (c[None], nu[None], total_overflow[None])
-        )
+        return ul + (c, nu[None], total_overflow[None])
 
-    spec = P(axis, None)
+    spec = P(axis)  # 1-D table boundaries (see pipeline._compact_body)
     mapped = jax.shard_map(
         body,
         mesh=mesh,
@@ -540,7 +531,11 @@ def _streamed_sixframe_count_mw(
 
     def _slice_nu(tbl, nu):
         cap = _next_pow2(max(int(np.asarray(nu).max()), 1))
-        return tuple(x[:, :cap] for x in tbl)
+        if n_dev == 1:
+            return tuple(x[:cap] for x in tbl)
+        return tuple(
+            x.reshape(n_dev, -1)[:, :cap].reshape(-1) for x in tbl
+        )
 
     stack = LevelStack(
         lambda a, b: merge(*a, *b),
@@ -579,7 +574,7 @@ def _streamed_sixframe_count_mw(
         _drain(pending)
 
     tbl = stack.fold()
-    C = tbl[0].shape[1]
+    C = tbl[0].shape[0] // n_dev
     cap = max(int(np.ceil(C * config.bucket_factor / n_dev)), 1)
     exchange = _exchange_step_mw(mesh, M, cap)
     out = exchange(*tbl)
@@ -785,7 +780,11 @@ def _streamed_sixframe_count(
 
     def _slice_nu(tbl, nu):
         cap = _next_pow2(max(int(np.asarray(nu).max()), 1))
-        return tuple(x[:, :cap] for x in tbl)
+        if n_dev == 1:
+            return tuple(x[:cap] for x in tbl)
+        return tuple(
+            x.reshape(n_dev, -1)[:, :cap].reshape(-1) for x in tbl
+        )
 
     stack = LevelStack(
         lambda a, b: merge(*a, *b), lambda out: _slice_nu(out[:3], out[3])
@@ -832,7 +831,7 @@ def _streamed_sixframe_count(
         _drain(pending)
 
     tbl = stack.fold()
-    C = tbl[0].shape[1]
+    C = tbl[0].shape[0] // n_dev
     cap = max(int(np.ceil(C * config.bucket_factor / n_dev)), 1)
     exchange = _exchange_step(mesh, K, cap)
     uh, ul, cnt, nu, overflow = exchange(*tbl)
