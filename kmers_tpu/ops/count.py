@@ -237,6 +237,18 @@ def merge_compact_tables(
     its cost tracks the true distinct count, not the stream length.
     """
     half = _next_pow2(max(hi_a.shape[0], hi_b.shape[0], 1))
+    if half >= (1 << 22):
+        # big tables: XLA's sort HLO fuses its comparator stages
+        # (~0.2 ms/stage at 2^25) while this jnp stage loop materializes
+        # every stage to HBM (~12 ms/stage) — measured 164.5 ms
+        # (sort+RLE) + ~100 ms compaction vs 328 ms bitonic at
+        # 2^24-row pairs (ROUND6F_r04.jsonl).  Below ~2^22 both are
+        # dispatch-latency-bound and the bitonic form wins slightly.
+        uh, ul, cnt, nu = merge_sorted_counts(
+            hi_a, lo_a, cnt_a, hi_b, lo_b, cnt_b
+        )
+        uh, ul, cnt = compact_counts(uh, ul, cnt)
+        return uh, ul, cnt, nu
     sent = jnp.asarray(SENTINEL, _U32)
 
     def pad(h, l, c):

@@ -224,6 +224,22 @@ def merge_compact_tables_mw(limbs_a, cnt_a, limbs_b, cnt_b):
     half = 1 << max(
         int(max(limbs_a[0].shape[0], limbs_b[0].shape[0], 1) - 1).bit_length(), 0
     )
+    if half >= (1 << 22):
+        # big tables: concat + fused-sort + weighted RLE beats the
+        # materialized bitonic stage loop (see
+        # count.merge_compact_tables and ROUND6F_r04.jsonl)
+        limbs = tuple(
+            jnp.concatenate([a, b]) for a, b in zip(limbs_a, limbs_b)
+        )
+        cnt = jnp.concatenate(
+            [cnt_a.astype(_I32), cnt_b.astype(_I32)]
+        )
+        sorted_all = lax.sort(
+            (*limbs, cnt), num_keys=len(limbs), is_stable=False
+        )
+        ul, c, nu = _rle_mw_weighted(sorted_all[:-1], sorted_all[-1])
+        ul, c = compact_counts_mw(ul, c)
+        return ul, c, nu
     ones = jnp.asarray(0xFFFFFFFF, _U32)
 
     def pad(limbs, c):

@@ -67,8 +67,9 @@ class ShardedCountConfig:
     #: Overflow is detected and reported, never silently dropped.
     bucket_factor: float = 2.0
     #: bases per device per jitted dispatch; slabs longer than this are
-    #: streamed through the level-stack accumulator.
-    chunk_size: int = 1 << 24
+    #: streamed through the level-stack accumulator.  2^21 for the same
+    #: sort-stage economics as CountConfig.chunk_size.
+    chunk_size: int = 1 << 21
     #: use the fused Mosaic window kernel per device; None = auto (TPU only).
     use_pallas: bool | None = None
     #: run the kernel in interpreter mode (CPU testing of the kernel path).
@@ -775,6 +776,13 @@ def _streamed_sharded_count(
             )
         view = _rows_to_u32_view(np.ascontiguousarray(rows), V) if use_pallas else rows
         out = count(jax.device_put(view, sharding))
+        try:
+            # queue nu's D2H immediately: by drain time (one chunk
+            # later) the scalar is already on the wire, hiding the
+            # round-trip latency behind the next chunk's compute
+            out[3].copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
         if pending is not None:
             _drain(pending)
         pending = out

@@ -522,6 +522,15 @@ def _streamed_sixframe_count_mw(
 
     B = min(config.chunk_size - config.chunk_size % 3, shard)
     B = max(B, 3)
+    # XLA's sort pads to the next power of two: a window stream only a
+    # few entries past 2^m doubles the sort (measured 114 vs ~59 ms at
+    # 2^25+44 windows).  When the overhang is small, shave the body so
+    # the 2(B + 3K + 1) windows fit exactly.
+    T = 2 * (B + 3 * K + 1)
+    m = T.bit_length() - 1
+    if T > (1 << m) and (T - (1 << m)) <= (1 << m) // 16:
+        B2 = (1 << m) // 2 - 3 * K - 1
+        B = max(B2 - B2 % 3, 3)
     n_chunks = -(-shard // B)
     row_len = B + 2 * H
 
@@ -567,6 +576,10 @@ def _streamed_sixframe_count_mw(
         out = count(
             jax.device_put(np.ascontiguousarray(rows), sharding), pad3
         )
+        try:
+            out[3].copy_to_host_async()  # hide the nu round trip
+        except (AttributeError, NotImplementedError):
+            pass
         if pending is not None:
             _drain(pending)
         pending = out
@@ -769,6 +782,15 @@ def _streamed_sixframe_count(
     # chunk body length: multiple of 3, covers the slab in equal rows
     B = min(config.chunk_size - config.chunk_size % 3, shard)
     B = max(B, 3)
+    # XLA's sort pads to the next power of two: a window stream only a
+    # few entries past 2^m doubles the sort (measured 114 vs ~59 ms at
+    # 2^25+44 windows).  When the overhang is small, shave the body so
+    # the 2(B + 3K + 1) windows fit exactly.
+    T = 2 * (B + 3 * K + 1)
+    m = T.bit_length() - 1
+    if T > (1 << m) and (T - (1 << m)) <= (1 << m) // 16:
+        B2 = (1 << m) // 2 - 3 * K - 1
+        B = max(B2 - B2 % 3, 3)
     n_chunks = -(-shard // B)
     row_len = B + 2 * H
 
@@ -824,6 +846,10 @@ def _streamed_sixframe_count(
         out = count(
             jax.device_put(np.ascontiguousarray(rows), sharding), pad3
         )
+        try:
+            out[3].copy_to_host_async()  # hide the nu round trip
+        except (AttributeError, NotImplementedError):
+            pass
         if pending is not None:
             _drain(pending)
         pending = out

@@ -57,7 +57,12 @@ class CountConfig:
     #: semantics).
     skip_ambiguous: bool = True
     #: bases per jitted dispatch; inputs longer than this are streamed.
-    chunk_size: int = 1 << 24
+    #: Default 2^21: XLA's sort is a comparator network with O(log^2 n)
+    #: stages, so smaller chunks cost fewer stages per element — the
+    #: per-chunk dispatch measured 720.3 Mb/s at 2^21 vs 504.2 at 2^24
+    #: (ROUND6B/6C_r04.jsonl; still rising at 2^19 but with growing
+    #: spread and per-chunk table overheads).
+    chunk_size: int = 1 << 21
     #: use the fused Mosaic window kernel; None = auto (TPU backends only).
     use_pallas: bool | None = None
 
@@ -328,6 +333,12 @@ def canonical_count_bytes(
             dev_ambig = dev_ambig + n_amb.astype(jnp.int32)
             acc = (uh, ul, cnt)
             break
+        try:
+            # queue nu's D2H now; the drain one chunk later reads it
+            # without paying the round trip (remote ~26 ms)
+            out[3].copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
         if pending is not None:
             _drain(pending)
         pending = out

@@ -354,6 +354,69 @@ class TestCount:
         assert (np.diff(keys.astype(np.uint64)) > 0).all()
         assert keep[: int(keep.sum())].all()
 
+    def test_merge_compact_tables_large_sort_form(self, rng):
+        # tables >= 2^22 rows take the concat+sort+RLE form
+        # (ROUND6F_r04.jsonl); same contract: compact, sorted, summed
+        from kmers_tpu.ops.count import SENTINEL, merge_compact_tables
+
+        n = 1 << 22
+        def mk(n_real, seed):
+            r = np.random.default_rng(seed)
+            v = np.unique(r.integers(0, 1 << 40, n_real).astype(np.uint64))
+            h = np.full(n, SENTINEL, np.uint32)
+            l = np.full(n, SENTINEL, np.uint32)
+            c = np.zeros(n, np.int32)
+            h[: v.size] = (v >> np.uint64(32)).astype(np.uint32)
+            l[: v.size] = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            c[: v.size] = 1 + (np.arange(v.size) % 4)
+            return (h, l, c), dict(
+                zip(v.tolist(), c[: v.size].tolist())
+            )
+        A, da = mk(3000, 1)
+        B, db = mk(2000, 2)
+        mh, ml, mc, mnu = merge_compact_tables(*A, *B)
+        mh, ml, mc = (np.asarray(x) for x in (mh, ml, mc))
+        want = collections.Counter(da)
+        want.update(db)
+        m = len(want)
+        assert int(mnu) == m
+        # compact: all real rows first, sorted
+        assert (mc[:m] > 0).all() and (mc[m:] == 0).all()
+        keys = (mh[:m].astype(np.uint64) << np.uint64(32)) | ml[:m]
+        assert keys.tolist() == sorted(want)
+        assert mc[:m].tolist() == [want[k] for k in sorted(want)]
+
+    def test_merge_compact_tables_mw_large_sort_form(self, rng):
+        from kmers_tpu.ops.multiword import merge_compact_tables_mw
+
+        n = 1 << 22
+        M = 3
+        def mk(n_real, seed):
+            r = np.random.default_rng(seed)
+            v = np.unique(r.integers(0, 1 << 50, n_real).astype(np.uint64))
+            limbs = [np.full(n, 0xFFFFFFFF, np.uint32) for _ in range(M)]
+            c = np.zeros(n, np.int32)
+            limbs[1][: v.size] = (v >> np.uint64(32)).astype(np.uint32)
+            limbs[2][: v.size] = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            limbs[0][: v.size] = 0
+            c[: v.size] = 2
+            return (tuple(limbs), c), {int(x): 2 for x in v}
+        (la, ca), da = mk(1500, 3)
+        (lb, cb), db = mk(900, 4)
+        ol, oc, nu = merge_compact_tables_mw(la, ca, lb, cb)
+        oc = np.asarray(oc)
+        want = collections.Counter(da)
+        want.update(db)
+        m = len(want)
+        assert int(nu) == m
+        assert (oc[:m] > 0).all() and (oc[m:] == 0).all()
+        keys = [
+            (int(np.asarray(ol[1])[i]) << 32) | int(np.asarray(ol[2])[i])
+            for i in range(m)
+        ]
+        assert keys == sorted(want)
+        assert oc[:m].tolist() == [want[k] for k in sorted(want)]
+
 
 class TestMinimizer:
     def test_sliding_min_oracle(self, rng):
