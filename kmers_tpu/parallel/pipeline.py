@@ -756,11 +756,14 @@ def _streamed_sharded_count(
         uh, ul, cnt = compact(uh, ul, cnt)
         stack.push(_slice_nu((uh, ul, cnt), nu))
 
-    # software double-buffer: enqueue chunk c+1's host prep + dispatch
-    # BEFORE fetching chunk c's nu scalar, so the ~26 ms remote fetch and
-    # the host-side copy overlap device compute instead of serializing
-    # the stream (VERDICT r3 item 4)
-    pending = None
+    # pipelined drain: keep up to 8 chunks in flight and drain the
+    # oldest, so each nu scalar (whose D2H was queued at enqueue time)
+    # has long arrived by the time it is read — through a remote
+    # transport a 1-deep double-buffer still paid ~1 round trip per
+    # chunk (VERDICT r3 item 4)
+    from collections import deque
+
+    pending = deque()
     for c in range(n_steps):
         lo_i = c * step_len
         rows = shards[:, lo_i : lo_i + row_len]
@@ -783,11 +786,11 @@ def _streamed_sharded_count(
             out[3].copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass
-        if pending is not None:
-            _drain(pending)
-        pending = out
-    if pending is not None:
-        _drain(pending)
+        pending.append(out)
+        if len(pending) > 8:
+            _drain(pending.popleft())
+    while pending:
+        _drain(pending.popleft())
 
     tbl = stack.fold()
 

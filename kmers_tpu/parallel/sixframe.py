@@ -563,7 +563,10 @@ def _streamed_sixframe_count_mw(
         packed = compact(*ulimbs, cnt)
         stack.push(_slice_nu(packed, nu))
 
-    pending = None
+    # pipelined drain (see pipeline._streamed_sharded_count)
+    from collections import deque
+
+    pending = deque()
     for c in range(n_chunks):
         rows = shards[:, c * B : c * B + row_len]
         b_true = min(B, shard - c * B)
@@ -580,11 +583,11 @@ def _streamed_sixframe_count_mw(
             out[3].copy_to_host_async()  # hide the nu round trip
         except (AttributeError, NotImplementedError):
             pass
-        if pending is not None:
-            _drain(pending)
-        pending = out
-    if pending is not None:
-        _drain(pending)
+        pending.append(out)
+        if len(pending) > 8:
+            _drain(pending.popleft())
+    while pending:
+        _drain(pending.popleft())
 
     tbl = stack.fold()
     C = tbl[0].shape[0] // n_dev
@@ -824,9 +827,10 @@ def _streamed_sixframe_count(
         uh, ul, cnt = compact(uh, ul, cnt)
         stack.push(_slice_nu((uh, ul, cnt), nu))
 
-    # software double-buffer (see pipeline._streamed_sharded_count):
-    # enqueue the next chunk before the previous chunk's nu fetch
-    pending = None
+    # pipelined drain (see pipeline._streamed_sharded_count)
+    from collections import deque
+
+    pending = deque()
     for c in range(n_chunks):
         rows = shards[:, c * B : c * B + row_len]
         # body bytes actually inside the slab body (the rest of the row's
@@ -850,11 +854,11 @@ def _streamed_sixframe_count(
             out[3].copy_to_host_async()  # hide the nu round trip
         except (AttributeError, NotImplementedError):
             pass
-        if pending is not None:
-            _drain(pending)
-        pending = out
-    if pending is not None:
-        _drain(pending)
+        pending.append(out)
+        if len(pending) > 8:
+            _drain(pending.popleft())
+    while pending:
+        _drain(pending.popleft())
 
     tbl = stack.fold()
     C = tbl[0].shape[0] // n_dev

@@ -294,10 +294,12 @@ def canonical_count_bytes(
         bcap = _next_pow2(max(int(nu), 1))  # scalar fetch per chunk
         stack.push((uh[:bcap], ul[:bcap], cnt[:bcap]))
 
-    # software double-buffer: chunk c+1's host prep + dispatch enqueue
-    # before chunk c's nu fetch, overlapping the ~26 ms remote round trip
-    # and the host copy with device compute
-    pending = None
+    # pipelined drain: up to 8 chunks in flight; each nu scalar's D2H is
+    # queued at enqueue time, so the read 8 chunks later is free (a
+    # 1-deep double-buffer still paid ~1 remote round trip per chunk)
+    from collections import deque
+
+    pending = deque()
     for start in starts:
         chunk = arr[start : start + config.chunk_size]
         pad = 0
@@ -339,11 +341,11 @@ def canonical_count_bytes(
             out[3].copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass
-        if pending is not None:
-            _drain(pending)
-        pending = out
-    if pending is not None and acc is None:
-        _drain(pending)
+        pending.append(out)
+        if len(pending) > 8:
+            _drain(pending.popleft())
+    while pending and acc is None:
+        _drain(pending.popleft())
 
     if acc is None and len(stack):
         acc = stack.fold()

@@ -99,19 +99,38 @@ def main():
     emit("extract_31mer_2bit", L, _timeit(extract31, data))
 
     # ---- config 2: canonical 31-mer counting (headline) ----
-    # same surface as bench.py: the fused u32 Mosaic front-end on TPU at
-    # the default CountConfig.chunk_size (2^24); byte path on CPU
+    # same surface as bench.py: default-config chunks (2^21) of the
+    # fused u32 Mosaic front-end | sort + RLE, pre-staged on device
     if on_tpu:
         from kmers_tpu.pipelines.canonical_count import (
+            CountConfig,
             _chunk_count_u32,
             _pad_to_u32_view,
         )
 
         L2 = min(1 << 24, L)
+        CH = min(CountConfig().chunk_size, L2)
+        args2 = []
+        for c in range(L2 // CH):
+            v, _ = _pad_to_u32_view(acgt[c * CH : (c + 1) * CH].copy())
+            args2.append(jax.device_put(v))
+
+        def count_default():
+            return [_chunk_count_u32(a, 31) for a in args2]
+
+        outs = count_default()
+        _force(outs[-1])
+        reps2 = 16
+        t0 = time.perf_counter()
+        allouts = [count_default() for _ in range(reps2)]
+        _force(allouts[-1][-1])
+        emit(
+            "canonical_31mer_count", L2,
+            (time.perf_counter() - t0) / reps2, baseline=5.0e7,
+        )
+        # kept for the K=47 config below
         v, _ = _pad_to_u32_view(acgt[:L2])
         arg2 = jax.device_put(v)
-        dt = _timeit(lambda: _chunk_count_u32(arg2, 31), reps=16)
-        emit("canonical_31mer_count", L2, dt, baseline=5.0e7)
     else:
         from kmers_tpu.pipelines.canonical_count import _chunk_count
 
@@ -152,19 +171,43 @@ def main():
             sharded_count_step,
         )
 
+        from kmers_tpu.parallel.pipeline import ShardedCountConfig
+
         mesh1 = data_mesh(1)
         L2 = min(1 << 24, L)
-        shards, shard = _shard_with_halo(
-            acgt[:L2].copy(), 1, 31, pad_byte=ord("N")
-        )
-        cap = int(np.ceil(shard * 2.0))
-        V = _pick_v(shards.shape[1])
-        stepf = sharded_count_step(mesh1, 31, shard, cap, True, False, V)
-        view = _rows_to_u32_view(shards, V)
+        CH = min(ShardedCountConfig().chunk_size, L2)
         sharding1 = NamedSharding(mesh1, P(mesh1.axis_names[0], None))
-        arg_s = jax.device_put(view, sharding1)
-        dt = _timeit(lambda: stepf(arg_s), reps=8)
-        emit("sharded_count_1dev", L2, dt, baseline=5.0e7)
+        args_s, stepf = [], None
+        for c in range(L2 // CH):
+            # seg is exactly CH bases so the window count is a power of
+            # two (the halo is 'N' padding; a CH+30 seg makes 2^21+30
+            # windows and the sort pads to 2^22)
+            seg = acgt[c * CH : (c + 1) * CH]
+            shards, shard = _shard_with_halo(
+                seg.copy(), 1, 31, pad_byte=ord("N")
+            )
+            cap = int(np.ceil(shard * 2.0))
+            V = _pick_v(shards.shape[1])
+            if stepf is None:
+                stepf = sharded_count_step(
+                    mesh1, 31, shard, cap, True, False, V
+                )
+            args_s.append(
+                jax.device_put(_rows_to_u32_view(shards, V), sharding1)
+            )
+
+        def count_sharded():
+            return [stepf(a) for a in args_s]
+
+        outs = count_sharded()
+        _force(outs[-1])
+        t0 = time.perf_counter()
+        allouts = [count_sharded() for _ in range(8)]
+        _force(allouts[-1][-1])
+        emit(
+            "sharded_count_1dev", L2, (time.perf_counter() - t0) / 8,
+            baseline=5.0e7,
+        )
 
     # ---- config 3: minimizer windows (+ spaced) ----
     # both use pipelines._extract: the Mosaic window kernel on TPU (the
@@ -273,24 +316,26 @@ def main():
 
         # time the streamed driver's per-chunk local step (the hot loop
         # of the public API: FE + sort/RLE; the exchange runs once per
-        # input and the 1-device exchange is the identity)
+        # input and the 1-device exchange is the identity) at the
+        # driver's pow2-clamped geometry: B such that the 2(B+3K+1)
+        # window stream fits the sort's power of two exactly
         H6 = 3 * cfg.K
-        shard6 = L6 + ((-L6) % 3)
-        padded6 = np.zeros(shard6 + H6, np.uint8)
-        padded6[:L6] = arr6
-        shards6 = np.zeros((1, shard6 + 2 * H6), np.uint8)
-        shards6[0, H6 : H6 + shard6 + H6] = padded6
+        B6 = (1 << 23) - 3 * cfg.K - 1
+        B6 -= B6 % 3
+        row6 = B6 + 2 * H6
+        rows6 = np.zeros((1, row6), np.uint8)
+        rows6[0, :] = arr6[:row6]
         tbl_bytes = bytes(np.asarray(cfg.code.tbl).tobytes())
         stepf6 = _sixframe_local_step(
             mesh, cfg.K, tbl_bytes, False, True, False
         )
         sharding6 = NamedSharding(mesh, P(mesh.axis_names[0], None))
-        arg6 = jax.device_put(shards6, sharding6)
+        arg6 = jax.device_put(rows6, sharding6)
         pad36 = np.zeros(1, np.int32)
         emit(
             "sixframe_aa7_sharded_count",
-            L6,
-            _timeit(stepf6, arg6, pad36, reps=4),
+            B6,
+            _timeit(stepf6, arg6, pad36, reps=8),
         )
     else:
         s6 = bytes(arr6.tobytes())
