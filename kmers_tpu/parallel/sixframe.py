@@ -49,11 +49,14 @@ class SixFrameCountConfig:
     bucket_factor: float = 2.0
     code: GeneticCode = standard_genetic_code
     #: bases per device per jitted dispatch (rounded down to a multiple
-    #: of 3 so codon frames stay aligned); device slabs longer than this
-    #: stream chunk-by-chunk through the level-stack accumulator like the
-    #: canonical pipeline — gigabase inputs never need a whole-slab
-    #: dispatch.  K <= 7 only (multi-limb slabs still dispatch whole).
-    chunk_size: int = 1 << 24
+    #: of 3 so codon frames stay aligned, then clamped so the window
+    #: stream fits the sort's power of two); device slabs longer than
+    #: this stream chunk-by-chunk through the level-stack accumulator
+    #: like the canonical pipeline — gigabase inputs never need a
+    #: whole-slab dispatch.  Default 2^20 (~2^21 windows/chunk): the
+    #: same sort-stage economics as CountConfig.chunk_size — measured
+    #: 298.4 Mb/s vs 166.3 at 2^23-base chunks (ROUND6J_r04.jsonl).
+    chunk_size: int = 1 << 20
     #: split FE | sort dispatch + fused Pallas RLE (None = auto: TPU only).
     use_pallas: bool | None = None
     #: run the RLE kernel in interpreter mode (CPU testing of that path).
