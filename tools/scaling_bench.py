@@ -18,6 +18,20 @@ import numpy as np
 
 
 def main():
+    import os
+
+    if os.environ.get("SCALING_CPU_MESH"):
+        # virtual-mesh run: the axon PJRT plugin force-sets
+        # jax_platforms at registration, overriding JAX_PLATFORMS —
+        # select CPU through the config API (tests/conftest.py pattern)
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count="
+            + os.environ["SCALING_CPU_MESH"]
+        ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -31,7 +45,7 @@ def main():
     )
 
     n_avail = len(jax.devices())
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"
     # per-device load: big enough that per-dispatch overhead amortizes
     L_dev = 1 << 24 if on_tpu else 1 << 20
     K = 31
