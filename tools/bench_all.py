@@ -128,9 +128,6 @@ def main():
             "canonical_31mer_count", L2,
             (time.perf_counter() - t0) / reps2, baseline=5.0e7,
         )
-        # kept for the K=47 config below
-        v, _ = _pad_to_u32_view(acgt[:L2])
-        arg2 = jax.device_put(v)
     else:
         from kmers_tpu.pipelines.canonical_count import _chunk_count
 
@@ -155,8 +152,26 @@ def main():
                 is_sent = s if is_sent is None else is_sent & s
             return sort_count_mw(limbs, ~is_sent)
 
-        dt = _timeit(lambda: count47(arg2), reps=8)
-        emit("canonical_47mer_count_multilimb", L2, dt)
+        # default-chunk protocol (the M+1-operand sort has the same
+        # O(log^2 n) stage economics: 231 -> 349 Mb/s from 2^24 to 2^20
+        # chunks, ROUND6K_r04.jsonl)
+        args47 = []
+        for c in range(L2 // CH):
+            v47, _ = _pad_to_u32_view(acgt[c * CH : (c + 1) * CH].copy())
+            args47.append(jax.device_put(v47))
+
+        def count47_default():
+            return [count47(a) for a in args47]
+
+        outs47 = count47_default()
+        _force(outs47[-1])
+        t0 = time.perf_counter()
+        all47 = [count47_default() for _ in range(8)]
+        _force(all47[-1][-1])
+        emit(
+            "canonical_47mer_count_multilimb", L2,
+            (time.perf_counter() - t0) / 8,
+        )
 
     # ---- config 2c: sharded counting on this 1-chip mesh (the SPMD
     # program's single-device throughput vs the flagship) ----
