@@ -251,8 +251,11 @@ class TestSixFrame:
             zip([int(k) for k in small[0]], small[1].tolist())
         ) == {int(k): v for k, v in oracle.items()}
 
-    @pytest.mark.parametrize("n_dev", [1, 8])
-    def test_streamed_multichunk_parity(self, n_dev):
+    # chunk_size 900: plain multi-chunk; 2035: rounds to B=2034 whose
+    # 2(B+16)=4100 window stream overhangs 2^12 by 4, so the pow2 clamp
+    # shaves B to 2031 — the sort-padding guard branch
+    @pytest.mark.parametrize("n_dev,chunk", [(1, 900), (8, 900), (4, 2035)])
+    def test_streamed_multichunk_parity(self, n_dev, chunk):
         # >= 3 chunks per device through the level-stack; chunk bodies
         # clip at the tail so halo data is never double-counted
         from kmers_tpu.parallel.sixframe import (
@@ -267,7 +270,7 @@ class TestSixFrame:
             s, SixFrameCountConfig(K=K), data_mesh(n_dev)
         )
         small = sharded_sixframe_aa_count(
-            s, SixFrameCountConfig(K=K, chunk_size=900), data_mesh(n_dev)
+            s, SixFrameCountConfig(K=K, chunk_size=chunk), data_mesh(n_dev)
         )
         assert np.array_equal(big[0], small[0])
         assert np.array_equal(big[1], small[1])
