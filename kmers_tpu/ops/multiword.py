@@ -114,29 +114,44 @@ def canonical_windows_mw(codes, K: int):
     return tuple(jnp.where(lt, f, r) for f, r in zip(fw, rv))
 
 
-@jax.jit
-def sort_count_mw(limbs, valid=None):
+@partial(jax.jit, static_argnames=("key_bits",))
+def sort_count_mw(limbs, valid=None, key_bits: int | None = None):
     """Multi-limb :func:`~kmers_tpu.ops.count.sort_count`.
 
     Returns (uniq_limbs tuple, counts, n_unique); invalid/padding rows
     carry counts of 0 and all-ones limbs.
+
+    ``key_bits`` (static): the register width K * bits_per_symbol.  When
+    it is strictly less than 32*M, the all-ones register cannot be a
+    valid kmer, so invalid rows are marked by VALUE (the sentinel) and
+    the sort drops its explicit invalid-flag operand — sort cost scales
+    with operand count, so M keys instead of M+1 saves ~1/(M+1) of the
+    dominant stage (25% at K=47's M=3).  When ``key_bits == 32*M``
+    (e.g. K=32 nucleotides, K=4/8 amino acids) the flag operand stays:
+    a real all-ones register must not be dropped.
     """
     limbs = tuple(limbs)
     n = limbs[0].shape[0]
     M = len(limbs)
     ones = jnp.asarray(0xFFFFFFFF, _U32)
-    if valid is None:
-        flag = jnp.zeros(n, jnp.uint8)
+    use_sentinel = valid is None or (
+        key_bits is not None and key_bits < 32 * M
+    )
+    if valid is not None:
+        limbs = tuple(jnp.where(valid, x, ones) for x in limbs)
+    if use_sentinel:
+        # unstable: every operand is a key -> tied elements bit-identical
+        slimbs = lax.sort(limbs, num_keys=M, is_stable=False)
+        sflag = None
     else:
         flag = (~valid).astype(jnp.uint8)
-        limbs = tuple(jnp.where(valid, x, ones) for x in limbs)
-    # unstable: every operand is a key, so tied elements are bit-identical
-    sorted_all = lax.sort((flag, *limbs), num_keys=M + 1, is_stable=False)
-    sflag, slimbs = sorted_all[0], sorted_all[1:]
+        sorted_all = lax.sort((flag, *limbs), num_keys=M + 1, is_stable=False)
+        sflag, slimbs = sorted_all[0], sorted_all[1:]
     neq = jnp.zeros(n - 1, bool)
     for x in slimbs:
         neq = neq | (x[1:] != x[:-1])
-    neq = neq | (sflag[1:] != sflag[:-1])
+    if sflag is not None:
+        neq = neq | (sflag[1:] != sflag[:-1])
     first = jnp.concatenate([jnp.ones(1, bool), neq])
     is_last = jnp.concatenate([first[1:], jnp.ones(1, bool)])
     wcum = jnp.arange(1, n + 1, dtype=_I32)
@@ -144,12 +159,21 @@ def sort_count_mw(limbs, valid=None):
     run_total = wcum - start_w
     # sentinel-interspersed emission: each run's last element keeps the
     # kmer and total; no compaction pass (see ops.count module docstring)
-    emit = is_last & (sflag == 0)
+    if sflag is not None:
+        invalid_row = sflag != 0
+    elif valid is None:
+        invalid_row = jnp.zeros(n, bool)
+    else:
+        invalid_row = None
+        for x in slimbs:
+            s = x == ones
+            invalid_row = s if invalid_row is None else invalid_row & s
+    emit = is_last & ~invalid_row
     ulimbs = tuple(jnp.where(emit, x, ones) for x in slimbs)
     counts = jnp.where(emit, run_total, 0)
     n_runs = jnp.sum(first.astype(_I32))
     # n_runs counts the invalid group as one run when present (it sorts last)
-    n_unique = n_runs - (sflag[-1] == 1).astype(_I32)
+    n_unique = n_runs - invalid_row[-1].astype(_I32)
     return ulimbs, counts, n_unique
 
 

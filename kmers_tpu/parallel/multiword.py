@@ -162,7 +162,7 @@ def _device_body_mw(shard_bytes, K: int, n_dev: int, cap: int, axis: str):
     invalid = (~(certain | ambig))[:body_len]
     limbs = canonical_windows_mw(codes, K)
     valid = window_valid_mask(certain, K)
-    ulimbs, cnt, _ = sort_count_mw(limbs, valid)
+    ulimbs, cnt, _ = sort_count_mw(limbs, valid, key_bits=2 * K)
     ulimbs, cnt, nu, overflow = exchange_and_merge_mw(
         ulimbs, cnt, n_dev, cap, axis
     )

@@ -165,7 +165,7 @@ def _sixframe_body_mw(shard_bytes, K: int, n_dev: int, cap: int, axis: str, tbl)
         jnp.concatenate([fw_limbs[m], rv_limbs[m]]) for m in range(M)
     )
     valid = jnp.concatenate([fw_valid, rv_valid])
-    ulimbs, cnt, _ = sort_count_mw(limbs, valid)
+    ulimbs, cnt, _ = sort_count_mw(limbs, valid, key_bits=8 * K)
     ulimbs, cnt, nu, overflow = exchange_and_merge_mw(
         ulimbs, cnt, n_dev, cap, axis
     )
@@ -403,7 +403,7 @@ def _sixframe_local_body_mw(rows, pad3, K: int, tbl, checked: bool):
         jnp.concatenate([fw_limbs[m], rv_limbs[m]]) for m in range(M)
     )
     valid = jnp.concatenate([fw_valid, rv_valid])
-    ulimbs, cnt, nu = sort_count_mw(limbs, valid)
+    ulimbs, cnt, nu = sort_count_mw(limbs, valid, key_bits=8 * K)
     n_valid = jnp.sum(valid, dtype=_I32)
     # 1-D table boundaries (see pipeline._compact_body)
     out = (ulimbs, cnt, nu[None], n_valid[None])

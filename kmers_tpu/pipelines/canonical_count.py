@@ -57,12 +57,13 @@ class CountConfig:
     #: semantics).
     skip_ambiguous: bool = True
     #: bases per jitted dispatch; inputs longer than this are streamed.
-    #: Default 2^21: XLA's sort is a comparator network with O(log^2 n)
+    #: Default 2^20: XLA's sort is a comparator network with O(log^2 n)
     #: stages, so smaller chunks cost fewer stages per element — the
-    #: per-chunk dispatch measured 720.3 Mb/s at 2^21 vs 504.2 at 2^24
-    #: (ROUND6B/6C_r04.jsonl; still rising at 2^19 but with growing
-    #: spread and per-chunk table overheads).
-    chunk_size: int = 1 << 21
+    #: per-chunk dispatch measured 771.3 Mb/s at 2^20 (1.6% spread) vs
+    #: 720.3 at 2^21 and 504.2 at 2^24 (ROUND6B/6C_r04.jsonl; 2^19
+    #: still rises to 814.5 but with 5.8% spread and doubled per-chunk
+    #: streaming overheads).
+    chunk_size: int = 1 << 20
     #: use the fused Mosaic window kernel; None = auto (TPU backends only).
     use_pallas: bool | None = None
 
@@ -418,7 +419,7 @@ def _canonical_count_multiword(data, config: CountConfig):
         invalid = ~(certain | ambig)
         limbs = canonical_windows_mw(codes, K)
         valid = window_valid_mask(certain, K)
-        ulimbs, counts, nu = sort_count_mw(limbs, valid)
+        ulimbs, counts, nu = sort_count_mw(limbs, valid, key_bits=2 * K)
         return ulimbs, counts, nu, jnp.sum(invalid), jnp.sum(ambig)
 
     @partial(jax.jit, static_argnames=("K", "interpret"))
@@ -442,7 +443,7 @@ def _canonical_count_multiword(data, config: CountConfig):
         for x in limbs:
             s = x == ones
             is_sent = s if is_sent is None else is_sent & s
-        return sort_count_mw(limbs, ~is_sent)
+        return sort_count_mw(limbs, ~is_sent, key_bits=2 * K)
 
     def chunk_fn_u32(v_u32, K, interpret=False):
         limbs, n_bad, n_amb = fe_fn_u32(v_u32, K, interpret)

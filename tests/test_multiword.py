@@ -96,6 +96,53 @@ class TestMultiwordCount:
         assert got == dict(oracle)
         assert int(nu) == len(oracle)
 
+    @pytest.mark.parametrize("K", [33, 47])
+    def test_count_parity_sentinel_form(self, rng, K):
+        # key_bits < 32*M drops the explicit invalid-flag sort operand
+        # and marks invalids by value; results must be identical
+        s = rand_dna(rng, 3000, "ACGTN")
+        codes, certain = codes_of(s)
+        limbs = canonical_windows_mw(codes, K)
+        valid = window_valid_mask(certain, K)
+        a = sort_count_mw(limbs, valid)
+        b = sort_count_mw(limbs, valid, key_bits=2 * K)
+        assert int(a[2]) == int(b[2])
+        da = dict(
+            (int(v), int(c))
+            for v, c in zip(mw_to_numpy(a[0]), np.asarray(a[1]))
+            if c > 0
+        )
+        db = dict(
+            (int(v), int(c))
+            for v, c in zip(mw_to_numpy(b[0]), np.asarray(b[1]))
+            if c > 0
+        )
+        assert da == db
+
+    def test_all_ones_register_not_dropped_at_boundary_width(self):
+        # K=32: 2K == 32*M, so the all-ones register IS a valid kmer
+        # (T^32 canonically... poly-A's RC) and key_bits must keep the
+        # flag operand — a sentinel form would silently drop it
+        import jax.numpy as jnp
+
+        K = 32
+        M = 2
+        ones = np.uint32(0xFFFFFFFF)
+        limbs = (
+            jnp.asarray([ones, 5, ones], jnp.uint32),
+            jnp.asarray([ones, 9, ones], jnp.uint32),
+        )
+        valid = jnp.asarray([True, True, False])
+        ulimbs, counts, nu = sort_count_mw(limbs, valid, key_bits=2 * K)
+        got = {
+            int(v): int(c)
+            for v, c in zip(mw_to_numpy(ulimbs), np.asarray(counts))
+            if c > 0
+        }
+        all_ones_val = (int(ones) << 32) | int(ones)
+        assert got == {(5 << 32) | 9: 1, all_ones_val: 1}
+        assert int(nu) == 2
+
     def test_repeat_heavy(self):
         s = "ACGTACGTA" * 100
         K = 40

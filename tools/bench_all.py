@@ -150,7 +150,7 @@ def main():
             for x in limbs:
                 s = x == ones
                 is_sent = s if is_sent is None else is_sent & s
-            return sort_count_mw(limbs, ~is_sent)
+            return sort_count_mw(limbs, ~is_sent, key_bits=2 * 47)
 
         # default-chunk protocol (the M+1-operand sort has the same
         # O(log^2 n) stage economics: 231 -> 349 Mb/s from 2^24 to 2^20
