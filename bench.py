@@ -25,6 +25,28 @@ import time
 import numpy as np
 
 
+def _wait_for_healthy_chip(max_wait_s=1500):
+    """The chip oscillates between healthy and ~18x-degraded states
+    (hours-scale, NOTES_R6).  Probe the SECOND execution of a tiny op
+    (the first includes the 20-40 s remote compile) and wait out a
+    degraded window rather than recording a garbage gate number."""
+    import jax
+    import jax.numpy as jnp
+
+    def op():
+        return (jnp.arange(1 << 16, dtype=jnp.uint32) + jnp.uint32(3)).sum()
+
+    int(np.asarray(op()))  # compile
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        t0 = time.perf_counter()
+        int(np.asarray(op()))
+        dt = time.perf_counter() - t0
+        if dt < 3.0 or time.monotonic() > deadline:
+            return dt
+        time.sleep(120)
+
+
 def main():
     import jax
 
@@ -34,6 +56,8 @@ def main():
     data = np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, TOT)]
 
     use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        _wait_for_healthy_chip()
     from kmers_tpu.pipelines.canonical_count import CountConfig
 
     chunk = min(CountConfig().chunk_size, TOT)
