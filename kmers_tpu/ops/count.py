@@ -237,7 +237,9 @@ def merge_compact_tables(
     its cost tracks the true distinct count, not the stream length.
     """
     half = _next_pow2(max(hi_a.shape[0], hi_b.shape[0], 1))
-    if half >= (1 << 22):
+    if half >= (1 << 22) and not use_pallas:
+        # (an explicit use_pallas=True keeps the bitonic+Mosaic
+        # experiment path measurable at any size)
         # big tables: XLA's sort HLO fuses its comparator stages
         # (~0.2 ms/stage at 2^25) while this jnp stage loop materializes
         # every stage to HBM (~12 ms/stage) — measured 164.5 ms

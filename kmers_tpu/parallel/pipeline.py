@@ -756,14 +756,10 @@ def _streamed_sharded_count(
         uh, ul, cnt = compact(uh, ul, cnt)
         stack.push(_slice_nu((uh, ul, cnt), nu))
 
-    # pipelined drain: keep up to 8 chunks in flight and drain the
-    # oldest, so each nu scalar (whose D2H was queued at enqueue time)
-    # has long arrived by the time it is read — through a remote
-    # transport a 1-deep double-buffer still paid ~1 round trip per
-    # chunk (VERDICT r3 item 4)
-    from collections import deque
+    from ..utils.streamq import DrainQueue
 
-    pending = deque()
+    # nu is index 3 of every count-step output (checked or not)
+    queue = DrainQueue(_drain, nu_index=3)
     for c in range(n_steps):
         lo_i = c * step_len
         rows = shards[:, lo_i : lo_i + row_len]
@@ -778,19 +774,8 @@ def _streamed_sharded_count(
                 axis=1,
             )
         view = _rows_to_u32_view(np.ascontiguousarray(rows), V) if use_pallas else rows
-        out = count(jax.device_put(view, sharding))
-        try:
-            # queue nu's D2H immediately: by drain time (one chunk
-            # later) the scalar is already on the wire, hiding the
-            # round-trip latency behind the next chunk's compute
-            out[3].copy_to_host_async()
-        except (AttributeError, NotImplementedError):
-            pass
-        pending.append(out)
-        if len(pending) > 8:
-            _drain(pending.popleft())
-    while pending:
-        _drain(pending.popleft())
+        queue.push(count(jax.device_put(view, sharding)))
+    queue.flush()
 
     tbl = stack.fold()
 

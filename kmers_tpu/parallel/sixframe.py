@@ -566,10 +566,10 @@ def _streamed_sixframe_count_mw(
         packed = compact(*ulimbs, cnt)
         stack.push(_slice_nu(packed, nu))
 
-    # pipelined drain (see pipeline._streamed_sharded_count)
-    from collections import deque
+    from ..utils.streamq import DrainQueue
 
-    pending = deque()
+    # nu is index 2 of the multi-limb step output (limbs, cnt, nu, ...)
+    queue = DrainQueue(_drain, nu_index=2)
     for c in range(n_chunks):
         rows = shards[:, c * B : c * B + row_len]
         b_true = min(B, shard - c * B)
@@ -582,15 +582,8 @@ def _streamed_sixframe_count_mw(
         out = count(
             jax.device_put(np.ascontiguousarray(rows), sharding), pad3
         )
-        try:
-            out[3].copy_to_host_async()  # hide the nu round trip
-        except (AttributeError, NotImplementedError):
-            pass
-        pending.append(out)
-        if len(pending) > 8:
-            _drain(pending.popleft())
-    while pending:
-        _drain(pending.popleft())
+        queue.push(out)
+    queue.flush()
 
     tbl = stack.fold()
     C = tbl[0].shape[0] // n_dev
@@ -684,8 +677,6 @@ def sharded_sixframe_aa_count(
         seg = padded[src_lo : d * shard + shard + H]
         shards[d, dst_lo : dst_lo + seg.shape[0]] = seg
 
-    n_win_per_dev = 2 * shard  # ~6 frames x shard/3
-    cap = int(np.ceil(n_win_per_dev * config.bucket_factor / n_dev))
     tbl_bytes = bytes(np.asarray(config.code.tbl).tobytes())
     axis = mesh.axis_names[0]
     sharding = NamedSharding(mesh, P(axis, None))
@@ -715,10 +706,14 @@ def sharded_sixframe_aa_count(
         order = np.argsort([int(v) for v in kmers], kind="stable")
         kmers, cnt = kmers[order], cnt[order]
         if metrics is not None:
+            # 2(L - 3K + 1) six-frame windows exist; skipped = the
+            # ambiguity-invalidated ones (valid windows == counted when
+            # conservation holds)
+            n_possible = max(2 * (L - 3 * K + 1), 0)
             metrics.end_batch(
                 bases_in=L,
                 windows_out=int(cnt.sum()),
-                windows_skipped=total_valid - int(cnt.sum()),
+                windows_skipped=n_possible - total_valid,
                 distinct_kmers=int(kmers.shape[0]),
             )
         return kmers, cnt
@@ -746,10 +741,12 @@ def sharded_sixframe_aa_count(
     order = np.argsort(kmers, kind="stable")
     kmers, cnt = kmers[order], cnt[order]
     if metrics is not None:
+        # see the K > 7 branch: skipped = possible - valid
+        n_possible = max(2 * (L - 3 * K + 1), 0)
         metrics.end_batch(
             bases_in=L,
             windows_out=int(cnt.sum()),
-            windows_skipped=total_valid - int(cnt.sum()),
+            windows_skipped=n_possible - total_valid,
             distinct_kmers=int(kmers.shape[0]),
         )
     return kmers, cnt
@@ -830,10 +827,10 @@ def _streamed_sixframe_count(
         uh, ul, cnt = compact(uh, ul, cnt)
         stack.push(_slice_nu((uh, ul, cnt), nu))
 
-    # pipelined drain (see pipeline._streamed_sharded_count)
-    from collections import deque
+    from ..utils.streamq import DrainQueue
 
-    pending = deque()
+    # nu is index 3 of the step output (uh, ul, cnt, nu, ...)
+    queue = DrainQueue(_drain, nu_index=3)
     for c in range(n_chunks):
         rows = shards[:, c * B : c * B + row_len]
         # body bytes actually inside the slab body (the rest of the row's
@@ -853,15 +850,8 @@ def _streamed_sixframe_count(
         out = count(
             jax.device_put(np.ascontiguousarray(rows), sharding), pad3
         )
-        try:
-            out[3].copy_to_host_async()  # hide the nu round trip
-        except (AttributeError, NotImplementedError):
-            pass
-        pending.append(out)
-        if len(pending) > 8:
-            _drain(pending.popleft())
-    while pending:
-        _drain(pending.popleft())
+        queue.push(out)
+    queue.flush()
 
     tbl = stack.fold()
     C = tbl[0].shape[0] // n_dev

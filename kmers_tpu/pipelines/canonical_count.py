@@ -295,12 +295,10 @@ def canonical_count_bytes(
         bcap = _next_pow2(max(int(nu), 1))  # scalar fetch per chunk
         stack.push((uh[:bcap], ul[:bcap], cnt[:bcap]))
 
-    # pipelined drain: up to 8 chunks in flight; each nu scalar's D2H is
-    # queued at enqueue time, so the read 8 chunks later is free (a
-    # 1-deep double-buffer still paid ~1 remote round trip per chunk)
-    from collections import deque
+    from ..utils.streamq import DrainQueue
 
-    pending = deque()
+    # nu is index 3 of every chunk-count output (checked or not)
+    queue = DrainQueue(_drain, nu_index=3)
     for start in starts:
         chunk = arr[start : start + config.chunk_size]
         pad = 0
@@ -336,17 +334,9 @@ def canonical_count_bytes(
             dev_ambig = dev_ambig + n_amb.astype(jnp.int32)
             acc = (uh, ul, cnt)
             break
-        try:
-            # queue nu's D2H now; the drain one chunk later reads it
-            # without paying the round trip (remote ~26 ms)
-            out[3].copy_to_host_async()
-        except (AttributeError, NotImplementedError):
-            pass
-        pending.append(out)
-        if len(pending) > 8:
-            _drain(pending.popleft())
-    while pending and acc is None:
-        _drain(pending.popleft())
+        queue.push(out)
+    if acc is None:
+        queue.flush()
 
     if acc is None and len(stack):
         acc = stack.fold()

@@ -228,14 +228,23 @@ class StreamingSketcher:
         if self._done:
             raise RuntimeError("finalize() already called")
         arr = _as_byte_array(seq_bytes)
-        if offsets is not None:
-            arr = join_records_with_n(arr, offsets)
         K = self.K
-        L = arr.shape[0]
-        self._bases += L
+        if offsets is not None:
+            # per-record window tally (windows never span the 'N' joins);
+            # windows containing ambiguous bases are still candidates
+            # here — sketching drops them silently, without the counting
+            # pipelines' conservation bookkeeping
+            lens = np.diff(np.asarray(offsets))
+            self._windows += int(np.maximum(lens - K + 1, 0).sum())
+            self._bases += int(lens.sum())
+            arr = join_records_with_n(arr, offsets)
+            L = arr.shape[0]
+        else:
+            L = arr.shape[0]
+            self._bases += L
+            self._windows += max(L - K + 1, 0)
         if L < K:
             return
-        self._windows += L - K + 1
         # K-1-byte overlap so windows spanning chunk boundaries appear in
         # exactly one chunk's window set (duplicates would be harmless —
         # sketches are sets — but the overlap keeps coverage exact)

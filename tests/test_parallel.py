@@ -308,6 +308,28 @@ class TestSixFrame:
             int(k): v for k, v in oracle.items()
         }
 
+    def test_metrics_windows_skipped_counts_ambiguity(self):
+        # windows_skipped = ambiguity-invalidated windows (possible -
+        # valid), not the always-zero valid-minus-counted difference
+        from kmers_tpu.parallel.sixframe import (
+            SixFrameCountConfig,
+            sharded_sixframe_aa_count,
+        )
+        from kmers_tpu.utils import Metrics
+
+        rng = np.random.default_rng(17)
+        s = "".join("ACGTN"[i] for i in rng.integers(0, 5, 3000))
+        K = 4
+        m = Metrics()
+        kmers, counts = sharded_sixframe_aa_count(
+            s, SixFrameCountConfig(K=K), data_mesh(2), metrics=m
+        )
+        stats = m.batches[-1]
+        n_possible = 2 * (len(s) - 3 * K + 1)
+        assert stats.windows_out == int(counts.sum())
+        assert stats.windows_skipped == n_possible - int(counts.sum())
+        assert stats.windows_skipped > 0  # the Ns really skip windows
+
     def test_streamed_checked_and_metrics(self):
         from kmers_tpu.parallel.sixframe import (
             SixFrameCountConfig,

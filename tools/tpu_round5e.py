@@ -106,7 +106,9 @@ sharding = NamedSharding(mesh, P(mesh.axis_names[0], None))
 def run_stream():
     def _slice_nu(tbl, nu):
         cap = _next_pow2(max(int(np.asarray(nu).max()), 1))
-        return tuple(t[:, :cap] for t in tbl)
+        # tables are 1-D per-device streams since the round-6 boundary
+        # refactor (1 device here)
+        return tuple(t[:cap] for t in tbl)
     stack = LevelStack(lambda a, b: merge(*a, *b), lambda out: _slice_nu(out[:3], out[3]))
     n_steps = -(-shard // step_len)
     for c in range(n_steps):
