@@ -80,12 +80,12 @@ def _sketch_chunk_pallas(v_u32, K: int, prefix: int):
     >= 2^62), so the host-side filter on the sentinel is exact."""
     from ..ops.pallas.window_kernel import canonical_windows_u32_pallas
 
-    hh, hl, n_bad, _n_amb = canonical_windows_u32_pallas(
+    hh, hl, n_bad, n_amb = canonical_windows_u32_pallas(
         v_u32, K, emit_hash=True
     )
     cand_hh, cand_hl, boundary = _smallest_prefix(hh, hl, prefix)
     shh, shl = jax.lax.sort((cand_hh, cand_hl), num_keys=2)
-    return shh, shl, n_bad, boundary
+    return shh, shl, n_bad, n_amb, boundary
 
 
 @partial(jax.jit, static_argnames=("K", "prefix"))
@@ -108,27 +108,35 @@ def _sketch_chunk(bytes_u8, K: int, prefix: int):
     hl = jnp.where(valid, hl, sent)
     cand_hh, cand_hl, boundary = _smallest_prefix(hh, hl, prefix)
     shh, shl = jax.lax.sort((cand_hh, cand_hl), num_keys=2)
-    return shh, shl, jnp.sum(invalid), boundary
+    return shh, shl, jnp.sum(invalid), jnp.sum(ambig), boundary
 
 
 def _sketch_exact(arr, K: int, s: int, skip_ambiguous: bool, use_pallas: bool):
     """Exact s-smallest-distinct canonical-kmer FxHashes of one byte
-    buffer, as a sorted np.uint64 array of length <= s."""
+    buffer, as a sorted np.uint64 array of length <= s.
+
+    Error contract (same as the counting pipelines, mirroring the
+    reference's ASCII LUT classes /root/reference/src/iterators/common.jl:22-32):
+    invalid bytes (0xff class) ALWAYS raise ``EncodeError``; ambiguous
+    bytes (0xf0 class) raise only when ``skip_ambiguous`` is False."""
     n_windows = arr.size - K + 1
     def run(prefix):
+        host_pad = 0
         if use_pallas:
             from .canonical_count import _pad_to_u32_view
 
-            v, _ = _pad_to_u32_view(arr)
-            hh, hl, n_invalid, boundary = _sketch_chunk_pallas(
+            v, host_pad = _pad_to_u32_view(arr)
+            hh, hl, n_invalid, n_ambig, boundary = _sketch_chunk_pallas(
                 jnp.asarray(v), K, prefix
             )
         else:
-            hh, hl, n_invalid, boundary = _sketch_chunk(
+            hh, hl, n_invalid, n_ambig, boundary = _sketch_chunk(
                 jnp.asarray(arr), K, prefix
             )
-        if int(n_invalid) and not skip_ambiguous:
+        if int(n_invalid):
             raise EncodeError(DNAAlphabet2(), "<batch input>")
+        if int(n_ambig) - host_pad and not skip_ambiguous:
+            raise EncodeError(DNAAlphabet2(), "<ambiguous base>")
         h = (np.asarray(hh).astype(np.uint64) << np.uint64(32)) | np.asarray(
             hl
         ).astype(np.uint64)
@@ -167,6 +175,11 @@ def minhash_sketch(
 
     Returns a sorted np.uint64 array of length <= s.  ``use_pallas``
     selects the fused Mosaic kernel (default: TPU backends only; K <= 31).
+
+    Invalid bytes (the LUT's 0xff error class) always raise
+    ``EncodeError``; ambiguous IUPAC codes are skipped when
+    ``skip_ambiguous`` (the default) and raise otherwise — identical to
+    ``canonical_count`` and ``minimizer_select``.
     """
     if isinstance(data, str):
         data = data.encode("ascii")
@@ -231,9 +244,9 @@ class StreamingSketcher:
         K = self.K
         if offsets is not None:
             # per-record window tally (windows never span the 'N' joins);
-            # windows containing ambiguous bases are still candidates
-            # here — sketching drops them silently, without the counting
-            # pipelines' conservation bookkeeping
+            # ambiguous-base windows drop silently (invalid bytes still
+            # raise), without the counting pipelines' conservation
+            # bookkeeping
             lens = np.diff(np.asarray(offsets))
             self._windows += int(np.maximum(lens - K + 1, 0).sum())
             self._bases += int(lens.sum())

@@ -10,8 +10,11 @@ from kmers_tpu import (
     CanonicalDNAMers,
     DNAAlphabet2,
     DNAAlphabet4,
+    EncodeError,
     Kmer,
     RNAAlphabet4,
+    UnambiguousDNAMers,
+    canonical,
     fx_hash,
 )
 from kmers_tpu.random import rand_kmer, rand_kmers, PROTEOGENIC_AA
@@ -171,6 +174,38 @@ class TestMinhash:
 
     def test_short(self):
         assert minhash_sketch("ACG", K=16, s=10).size == 0
+
+    def test_skip_ambiguous_drops_n_windows(self, rng):
+        # ambiguous codes drop their windows under the default skip mode;
+        # the sketch equals the sketch over the unambiguous sub-windows
+        s = "".join("ACGTNACGT"[i] for i in rng.integers(0, 9, 4000))
+        sk = minhash_sketch(s, K=9, s=50)
+        oracle = sorted(
+            {fx_hash(canonical(k)) for k, _ in UnambiguousDNAMers(9, s)}
+        )[:50]
+        assert list(sk) == oracle
+
+    def test_ambiguous_raises_when_not_skipping(self):
+        with pytest.raises(EncodeError):
+            minhash_sketch("ACGT" * 50 + "N" + "ACGT" * 50, K=9, s=10,
+                           skip_ambiguous=False)
+
+    def test_invalid_bytes_always_raise(self):
+        # the LUT's 0xff error class raises even under skip_ambiguous —
+        # same contract as canonical_count / minimizer_select
+        # (cf. /root/reference/src/iterators/common.jl:22-32)
+        bad = "ACGTACGTACGT" * 20 + "!!??" + "ACGTACGTACGT" * 20
+        with pytest.raises(EncodeError):
+            minhash_sketch(bad, K=9, s=10)
+        with pytest.raises(EncodeError):
+            minhash_sketch(bad, K=9, s=10, skip_ambiguous=False)
+
+    def test_streaming_invalid_bytes_raise(self):
+        from kmers_tpu.pipelines.minhash import StreamingSketcher
+
+        sk = StreamingSketcher(K=9, s=10, chunk_size=1024)
+        with pytest.raises(EncodeError):
+            sk.update(("ACGT" * 100 + "X" + "ACGT" * 100).encode())
 
     def test_streaming_parity_multichunk(self, rng):
         # >= 3 chunks per update, windows spanning chunk boundaries
