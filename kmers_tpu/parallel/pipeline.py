@@ -521,6 +521,32 @@ def sharded_count_step(
 # Host driver
 
 
+def _fetch_np(x) -> np.ndarray:
+    """Host fetch that also works on multi-process global arrays.
+
+    Under ``jax.distributed`` (multi-controller SPMD) each process holds
+    only its addressable shards; ``process_allgather`` replicates the
+    value so every process sees the same full array — the DCN twin of a
+    plain ``np.asarray``."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def _put_sharded(view: np.ndarray, sharding):
+    """Stage host rows onto the mesh: plain device_put in one process;
+    per-process shard materialization (``make_array_from_callback``) when
+    the mesh spans processes — every process holds the full host rows
+    (deterministic input) and contributes only its addressable shards."""
+    if jax.process_count() == 1:
+        return jax.device_put(view, sharding)
+    return jax.make_array_from_callback(
+        view.shape, sharding, lambda idx: view[idx]
+    )
+
+
 def _shard_with_halo(arr: np.ndarray, n_dev: int, K: int, pad_byte: int = 0):
     """Split bases into n_dev equal shards with K-1 right halos.
 
@@ -622,12 +648,12 @@ def sharded_canonical_count(
             checked=dbg,
         )
         view = _rows_to_u32_view(shards, V) if use_pallas else shards
-        out = step(jax.device_put(view, sharding))
+        out = step(_put_sharded(view, sharding))
         uh, ul, cnt, nu, n_bad, overflow = out[:6]
         if dbg:
             # conservation inside each device's sort+RLE (psummed)
-            total_valid = int(np.asarray(out[6])[0])
-            total_counted = int(np.asarray(out[7])[0])
+            total_valid = int(_fetch_np(out[6])[0])
+            total_counted = int(_fetch_np(out[7])[0])
             if total_valid != total_counted:
                 raise RuntimeError(
                     "checked mode: count conservation violated in the "
@@ -643,18 +669,18 @@ def sharded_canonical_count(
             )
         )
 
-    if int(np.asarray(n_bad)[0]) > 0:
+    if int(_fetch_np(n_bad)[0]) > 0:
         from ..alphabets import EncodeError, DNAAlphabet2
 
         raise EncodeError(DNAAlphabet2(), "<batch input>")
-    if int(np.asarray(overflow)[0]) > 0:
+    if int(_fetch_np(overflow)[0]) > 0:
         raise RuntimeError(
             "hash-prefix bucket overflow; increase bucket_factor"
         )
 
-    uh = np.asarray(uh).reshape(-1).astype(np.uint64)
-    ul = np.asarray(ul).reshape(-1).astype(np.uint64)
-    cnt = np.asarray(cnt).reshape(-1)
+    uh = _fetch_np(uh).reshape(-1).astype(np.uint64)
+    ul = _fetch_np(ul).reshape(-1).astype(np.uint64)
+    cnt = _fetch_np(cnt).reshape(-1)
     kmers = (uh << np.uint64(32)) | ul
     keep = cnt > 0
     kmers, cnt = kmers[keep], cnt[keep].astype(np.int64)
@@ -720,7 +746,7 @@ def _streamed_sharded_count(
     def _slice_nu(tbl, nu):
         # uniform capacity across devices: the max distinct count (shapes
         # must agree on every device)
-        cap = _next_pow2(max(int(np.asarray(nu).max()), 1))
+        cap = _next_pow2(max(int(_fetch_np(nu).max()), 1))
         if n_dev == 1:
             return tuple(x[:cap] for x in tbl)
         return tuple(
@@ -774,7 +800,7 @@ def _streamed_sharded_count(
                 axis=1,
             )
         view = _rows_to_u32_view(np.ascontiguousarray(rows), V) if use_pallas else rows
-        queue.push(count(jax.device_put(view, sharding)))
+        queue.push(count(_put_sharded(view, sharding)))
     queue.flush()
 
     tbl = stack.fold()
@@ -785,11 +811,11 @@ def _streamed_sharded_count(
     cap = max(int(np.ceil(C * config.bucket_factor / n_dev)), 1)
     exchange = _exchange_step(mesh, K, cap)
     uh, ul, cnt, nu, overflow = exchange(*tbl)
-    total_bad = int(np.asarray(dev_bad).sum())
+    total_bad = int(_fetch_np(dev_bad).sum())
     total_valid = None
     if checked:
-        total_valid = int(np.asarray(dev_valid).sum())
-        total_counted = int(np.asarray(dev_cnt).sum())
+        total_valid = int(_fetch_np(dev_valid).sum())
+        total_counted = int(_fetch_np(dev_cnt).sum())
         if total_valid != total_counted:
             raise RuntimeError(
                 "checked mode: count conservation violated in the "

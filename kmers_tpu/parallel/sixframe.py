@@ -59,6 +59,9 @@ class SixFrameCountConfig:
     chunk_size: int = 1 << 20
     #: split FE | sort dispatch + fused Pallas RLE (None = auto: TPU only).
     use_pallas: bool | None = None
+    #: fully fused Mosaic front-end (classify + codon + dual-strand AA
+    #: windows in one kernel, K <= 7).  None = auto: follows use_pallas.
+    fused_fe: bool | None = None
     #: run the RLE kernel in interpreter mode (CPU testing of that path).
     pallas_interpret: bool = False
 
@@ -273,6 +276,40 @@ def _sixframe_fe_body(rows, pad3, K: int, tbl):
 import functools
 
 
+#: lane count per tile of the fused six-frame Mosaic kernel
+_V_SIX = 4096
+
+
+@functools.lru_cache(maxsize=64)
+def _sixframe_fe_fused_step(mesh: Mesh, K: int, tbl_bytes: bytes, interpret: bool):
+    """Fused Mosaic front-end (dispatch 1): raw u32 byte rows -> both
+    strands' sentinelized AA window streams + per-device valid-window
+    count, in ONE kernel (see ops/pallas/sixframe_kernel.py)."""
+    from ..ops.pallas.sixframe_kernel import (
+        sixframe_tbl16,
+        sixframe_windows_u32_pallas,
+    )
+
+    axis = mesh.axis_names[0]
+    tbl16 = sixframe_tbl16(tbl_bytes)
+
+    def body(rows_u32, bounds):
+        hi, lo, nv = sixframe_windows_u32_pallas(
+            rows_u32[0], bounds, K, V=_V_SIX, interpret=interpret,
+            tbl16=tbl16,
+        )
+        return hi, lo, nv[None]
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 @functools.lru_cache(maxsize=64)
 def _sixframe_fe_step(mesh: Mesh, K: int, tbl_bytes: bytes):
     axis = mesh.axis_names[0]
@@ -327,14 +364,27 @@ def _sixframe_local_step(
     checked: bool = False,
     use_pallas: bool = False,
     interpret: bool = False,
+    fused: bool = False,
 ):
     """Cached per-chunk local count (no exchange) for streaming.
 
     With ``use_pallas``: TWO dispatches (FE | sort+RLE) so the sort gets
     its own program — the same relayout recovery as the flagship
     (``pipelines.canonical_count._chunk_count_u32``) — and the RLE runs
-    as the fused Mosaic kernel.  Output order matches the jnp form:
+    as the fused Mosaic kernel.  With ``fused`` the FE dispatch is the
+    fully fused Mosaic kernel over u32 rows (step args become
+    ``(rows_u32, bounds)``).  Output order matches the jnp form:
     (uh, ul, cnt, nu, n_valid[, n_cnt])."""
+    if use_pallas and fused:
+        fe = _sixframe_fe_fused_step(mesh, K, tbl_bytes, interpret)
+        tail = _sixframe_tail_step(mesh, K, interpret, checked)
+
+        def step(rows_u32, bounds):
+            hi, lo, n_valid = fe(rows_u32, bounds)
+            out = tail(hi, lo)
+            return (*out[:4], n_valid, *out[4:])
+
+        return step
     if use_pallas:
         fe = _sixframe_fe_step(mesh, K, tbl_bytes)
         tail = _sixframe_tail_step(mesh, K, interpret, checked)
@@ -781,24 +831,47 @@ def _streamed_sixframe_count(
         if config.use_pallas is None
         else config.use_pallas
     )
+    fused = (
+        (use_pallas and K <= 7)
+        if config.fused_fe is None
+        else (config.fused_fe and K <= 7)
+    )
 
-    # chunk body length: multiple of 3, covers the slab in equal rows
-    B = min(config.chunk_size - config.chunk_size % 3, shard)
-    B = max(B, 3)
-    # XLA's sort pads to the next power of two: a window stream only a
-    # few entries past 2^m doubles the sort (measured 114 vs ~59 ms at
-    # 2^25+44 windows).  When the overhang is small, shave the body so
-    # the 2(B + 3K + 1) windows fit exactly.
-    T = 2 * (B + 3 * K + 1)
-    m = T.bit_length() - 1
-    if T > (1 << m) and (T - (1 << m)) <= (1 << m) // 16:
-        B2 = (1 << m) // 2 - 3 * K - 1
-        B = max(B2 - B2 % 3, 3)
-    n_chunks = -(-shard // B)
-    row_len = B + 2 * H
+    if fused:
+        # fused-FE geometry: device rows are padded to a power-of-two
+        # byte length row4 (multiple of 4*_V_SIX); the kernel emits
+        # 2*row4 windows per device, which fits the sort's power of two
+        # exactly.  The 24-byte tail margin keeps every owned window's
+        # roll sources inside the padded stream (anchors end 3K before
+        # the body edge; rolled reads reach at most 24 bytes further).
+        unit = 4 * _V_SIX
+        lo_need = 2 * H + 24 + 3
+        row4 = max(unit, _next_pow2(min(config.chunk_size, shard + lo_need)))
+        while row4 < lo_need:
+            row4 *= 2
+        B = row4 - 2 * H - 24
+        B -= B % 3
+        n_chunks = -(-shard // B)
+        row_len = B + 2 * H
+    else:
+        # chunk body length: multiple of 3, covers the slab in equal rows
+        B = min(config.chunk_size - config.chunk_size % 3, shard)
+        B = max(B, 3)
+        # XLA's sort pads to the next power of two: a window stream only a
+        # few entries past 2^m doubles the sort (measured 114 vs ~59 ms at
+        # 2^25+44 windows).  When the overhang is small, shave the body so
+        # the 2(B + 3K + 1) windows fit exactly.
+        T = 2 * (B + 3 * K + 1)
+        m = T.bit_length() - 1
+        if T > (1 << m) and (T - (1 << m)) <= (1 << m) // 16:
+            B2 = (1 << m) // 2 - 3 * K - 1
+            B = max(B2 - B2 % 3, 3)
+        n_chunks = -(-shard // B)
+        row_len = B + 2 * H
 
     count = _sixframe_local_step(
-        mesh, K, tbl_bytes, checked, use_pallas, config.pallas_interpret
+        mesh, K, tbl_bytes, checked, use_pallas, config.pallas_interpret,
+        fused,
     )
     compact = _compact_step(mesh)
     merge = _merge_step(mesh)
@@ -836,6 +909,18 @@ def _streamed_sixframe_count(
         # body bytes actually inside the slab body (the rest of the row's
         # body region is right-halo data owned by the next chunk/device)
         b_true = min(B, shard - c * B)
+        if fused:
+            # uniform power-of-two row; 0x00 pad flags as invalid and the
+            # in-kernel ownership bounds clip the body at b_true
+            rows_p = np.zeros((n_dev, row4), np.uint8)
+            rows_p[:, : rows.shape[1]] = rows
+            bounds = np.zeros(128, np.int32)
+            bounds[:4] = (H, H + b_true, 1, b_true + 1)
+            out = count(
+                jax.device_put(rows_p.view("<u4"), sharding), bounds
+            )
+            queue.push(out)
+            continue
         if rows.shape[1] < row_len:
             # tail chunk: pad the row to the uniform dispatch shape with
             # 0x00; ownership clips at b_true so nothing double-counts

@@ -30,7 +30,11 @@ class DrainQueue:
 
     def push(self, out) -> None:
         try:
-            out[self._nu_index].copy_to_host_async()
+            arr = out[self._nu_index]
+            # multi-process global arrays are not host-fetchable from one
+            # process; the drain path allgathers them instead
+            if getattr(arr, "is_fully_addressable", True):
+                arr.copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass
         self._pending.append(out)

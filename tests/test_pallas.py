@@ -559,3 +559,63 @@ class TestCompactTailKernel:
         assert np.array_equal(got_h, np.asarray(wh))
         assert np.array_equal(got_l, np.asarray(wl))
         assert np.array_equal(got_c, np.asarray(wc))
+
+
+class TestSixFrameFusedKernel:
+    """Fused six-frame AA window kernel vs the jnp front-end (multiset
+    parity of non-sentinel windows + valid-window count)."""
+
+    @pytest.mark.parametrize("K,p3", [(1, 0), (3, 6), (5, 0), (7, 6)])
+    def test_parity_vs_jnp_fe(self, rng, K, p3):
+        from collections import Counter
+
+        import jax.numpy as jnp
+
+        from kmers_tpu.genetic_codes import standard_genetic_code
+        from kmers_tpu.ops.count import SENTINEL
+        from kmers_tpu.ops.pallas.sixframe_kernel import (
+            sixframe_tbl16,
+            sixframe_windows_u32_pallas,
+        )
+        from kmers_tpu.parallel.sixframe import _sixframe_fe_body
+
+        tbl = np.asarray(standard_genetic_code.tbl)
+        tbl16 = sixframe_tbl16(bytes(tbl.tobytes()))
+        V = 256
+        row4 = 4 * V * 2  # two tiles
+        H = 3 * K
+        B = row4 - 2 * H - 24
+        B -= B % 3
+        row_len = B + 2 * H
+        b_true = B - p3
+        s = rng.choice(
+            np.frombuffer(b"ACGTNacgt!", np.uint8),
+            size=row_len,
+            p=[0.2, 0.2, 0.2, 0.2, 0.05, 0.04, 0.04, 0.04, 0.025, 0.005],
+        ).astype(np.uint8)
+        if p3:
+            s[H + b_true :] = 0
+        hi_j, lo_j, nv_j = _sixframe_fe_body(
+            s[None], np.asarray([p3], np.int32), K=K, tbl=tbl
+        )
+        hi_j, lo_j = np.asarray(hi_j), np.asarray(lo_j)
+        m = (hi_j != SENTINEL) | (lo_j != SENTINEL)
+        want = Counter(zip(hi_j[m].tolist(), lo_j[m].tolist()))
+
+        row = np.zeros(row4, np.uint8)
+        row[:row_len] = s
+        bounds = np.zeros(128, np.int32)
+        bounds[:4] = (H, H + b_true, 1, b_true + 1)
+        hi_k, lo_k, nv_k = sixframe_windows_u32_pallas(
+            jnp.asarray(row.view("<u4")),
+            jnp.asarray(bounds),
+            K,
+            V=V,
+            interpret=True,
+            tbl16=tbl16,
+        )
+        hi_k, lo_k = np.asarray(hi_k), np.asarray(lo_k)
+        mk = (hi_k != SENTINEL) | (lo_k != SENTINEL)
+        got = Counter(zip(hi_k[mk].tolist(), lo_k[mk].tolist()))
+        assert got == want
+        assert int(nv_k) == int(nv_j[0]) == int(mk.sum())

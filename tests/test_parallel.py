@@ -297,7 +297,8 @@ class TestSixFrame:
         pl_out = sharded_sixframe_aa_count(
             s,
             SixFrameCountConfig(
-                K=K, chunk_size=1200, use_pallas=True, pallas_interpret=True
+                K=K, chunk_size=1200, use_pallas=True, pallas_interpret=True,
+                fused_fe=False,
             ),
             data_mesh(n_dev),
         )
@@ -307,6 +308,60 @@ class TestSixFrame:
         assert dict(zip(pl_out[0].tolist(), pl_out[1].tolist())) == {
             int(k): v for k, v in oracle.items()
         }
+
+    @pytest.mark.parametrize("n_dev", [1, 3, 8])
+    def test_fused_fe_parity(self, n_dev):
+        # fully fused Mosaic front-end (interpret mode): bit-exact vs the
+        # jnp pipeline and the python oracle
+        from kmers_tpu.parallel.sixframe import (
+            SixFrameCountConfig,
+            sharded_sixframe_aa_count,
+        )
+
+        rng = np.random.default_rng(41)
+        s = "".join("ACGTN"[i] for i in rng.integers(0, 5, 5000))
+        K = 5
+        jnp_out = sharded_sixframe_aa_count(
+            s, SixFrameCountConfig(K=K), data_mesh(n_dev)
+        )
+        f_out = sharded_sixframe_aa_count(
+            s,
+            SixFrameCountConfig(
+                K=K, use_pallas=True, pallas_interpret=True, fused_fe=True
+            ),
+            data_mesh(n_dev),
+        )
+        assert np.array_equal(jnp_out[0], f_out[0])
+        assert np.array_equal(jnp_out[1], f_out[1])
+        oracle = self._oracle(s, K)
+        assert dict(zip(f_out[0].tolist(), f_out[1].tolist())) == {
+            int(k): v for k, v in oracle.items()
+        }
+
+    def test_fused_fe_multichunk_stream(self):
+        # device slabs longer than one fused row stream through the
+        # level-stack (3+ chunks) and still match the jnp pipeline
+        from kmers_tpu.parallel.sixframe import (
+            SixFrameCountConfig,
+            sharded_sixframe_aa_count,
+        )
+
+        rng = np.random.default_rng(43)
+        s = "".join("ACGTN"[i] for i in rng.integers(0, 5, 70000))
+        K = 3
+        mesh = data_mesh(2)
+        jnp_out = sharded_sixframe_aa_count(
+            s, SixFrameCountConfig(K=K), mesh
+        )
+        f_out = sharded_sixframe_aa_count(
+            s,
+            SixFrameCountConfig(
+                K=K, use_pallas=True, pallas_interpret=True, fused_fe=True
+            ),
+            mesh,
+        )
+        assert np.array_equal(jnp_out[0], f_out[0])
+        assert np.array_equal(jnp_out[1], f_out[1])
 
     def test_metrics_windows_skipped_counts_ambiguity(self):
         # windows_skipped = ambiguity-invalidated windows (possible -

@@ -330,30 +330,32 @@ def main():
         from kmers_tpu.parallel.sixframe import _sixframe_local_step
 
         # time the streamed driver's per-chunk local step (the hot loop
-        # of the public API: FE + sort/RLE; the exchange runs once per
-        # input and the 1-device exchange is the identity) at the
-        # default pow2-clamped geometry (chunk 2^20 -> ~2^21 windows),
-        # multiple pre-staged chunks, one-fetch protocol
+        # of the public API: fused Mosaic FE + sort/RLE; the exchange
+        # runs once per input and the 1-device exchange is the identity)
+        # at the default fused geometry (2^20-byte pow2 rows -> 2^21
+        # windows), multiple pre-staged chunks, one-fetch protocol
         H6 = 3 * cfg.K
-        B6 = (1 << 20) - 3 * cfg.K - 1
+        row6 = 1 << 20
+        B6 = row6 - 2 * H6 - 24
         B6 -= B6 % 3
-        row6 = B6 + 2 * H6
         tbl_bytes = bytes(np.asarray(cfg.code.tbl).tobytes())
         stepf6 = _sixframe_local_step(
-            mesh, cfg.K, tbl_bytes, False, True, False
+            mesh, cfg.K, tbl_bytes, False, True, False, True
         )
         sharding6 = NamedSharding(mesh, P(mesh.axis_names[0], None))
-        pad36 = np.zeros(1, np.int32)
         n6 = max(min(L6, 1 << 23) // B6, 1)
         args6 = []
+        bounds6 = np.zeros(128, np.int32)
+        bounds6[:4] = (H6, H6 + B6, 1, B6 + 1)
+        bounds6 = jax.device_put(bounds6)
         for c in range(n6):
             rows6 = np.zeros((1, row6), np.uint8)
-            seg6 = arr6[c * B6 : c * B6 + row6]
+            seg6 = arr6[c * B6 : c * B6 + B6 + 2 * H6]
             rows6[0, : seg6.size] = seg6
-            args6.append(jax.device_put(rows6, sharding6))
+            args6.append(jax.device_put(rows6.view("<u4"), sharding6))
 
         def count_six():
-            return [stepf6(a, pad36) for a in args6]
+            return [stepf6(a, bounds6) for a in args6]
 
         outs6 = count_six()
         _force(outs6[-1])

@@ -1,0 +1,94 @@
+"""One process of the multi-process (jax.distributed) parity run.
+
+Each process owns ``--devices-per-proc`` virtual CPU devices; the mesh
+spans all processes, so the hash-prefix exchange's ``all_to_all`` and the
+``psum`` tallies cross a process boundary (the DCN analogue the
+single-process virtual mesh cannot exercise — SURVEY.md §4 "how they'd
+test multi-node without a cluster").  Launch via tools/run_multiproc.py.
+
+Cross-process collectives use JAX's gloo CPU backend; inputs are
+deterministic (seeded) so every process builds identical host data, the
+standard multi-controller SPMD contract.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pid", type=int, required=True)
+    ap.add_argument("--nproc", type=int, required=True)
+    ap.add_argument("--port", type=int, required=True)
+    ap.add_argument("--devices-per-proc", type=int, default=4)
+    ap.add_argument("--bases", type=int, default=200_000)
+    args = ap.parse_args()
+
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={args.devices_per_proc}"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    # the axon PJRT plugin force-sets jax_platforms at registration; the
+    # config update (before any backend init) is the only reliable way to
+    # pin the CPU backend in this sandbox
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{args.port}",
+        num_processes=args.nproc,
+        process_id=args.pid,
+    )
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from kmers_tpu.parallel import ShardedCountConfig, sharded_canonical_count
+    from kmers_tpu.pipelines import canonical_count
+
+    assert jax.process_count() == args.nproc, (
+        jax.process_count(),
+        args.nproc,
+    )
+    n_dev = len(jax.devices())
+    n_local = len(jax.local_devices())
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+
+    rng = np.random.default_rng(123)
+    s = "".join("ACGTNACGT"[i] for i in rng.integers(0, 9, args.bases))
+
+    # single-chip oracle, computed locally in this process (no mesh)
+    k1, c1 = canonical_count(s, K=31)
+
+    # 1) single-dispatch path over the process-spanning mesh
+    k2, c2 = sharded_canonical_count(s, ShardedCountConfig(K=31), mesh)
+    single_ok = bool(np.array_equal(k1, k2) and np.array_equal(c1, c2))
+
+    # 2) streamed path: several chunks per device through the level-stack
+    #    accumulator, one cross-process exchange at the end
+    chunk = max(2048, args.bases // (n_dev * 3))
+    k3, c3 = sharded_canonical_count(
+        s, ShardedCountConfig(K=31, chunk_size=chunk), mesh
+    )
+    streamed_ok = bool(np.array_equal(k1, k3) and np.array_equal(c1, c3))
+
+    result = {
+        "process_id": args.pid,
+        "n_processes": args.nproc,
+        "n_devices_global": n_dev,
+        "n_devices_local": n_local,
+        "bases": args.bases,
+        "distinct_kmers": int(k1.shape[0]),
+        "single_dispatch_parity": single_ok,
+        "streamed_parity": streamed_ok,
+        "ok": single_ok and streamed_ok,
+    }
+    print("RESULT " + json.dumps(result), flush=True)
+    return 0 if result["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
