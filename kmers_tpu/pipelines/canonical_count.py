@@ -413,36 +413,38 @@ def _canonical_count_multiword(data, config: CountConfig):
         return ulimbs, counts, nu, jnp.sum(invalid), jnp.sum(ambig)
 
     @partial(jax.jit, static_argnames=("K", "interpret"))
-    def fe_fn_u32(v_u32, K, interpret=False):
-        """Dispatch 1: fused multi-limb Mosaic front-end.  Sentinel
-        (all-ones) rows mark invalid windows — safe because a canonical
-        register is never all-ones (rc of all-ones is 0)."""
+    def chunk_fn_u32(v_u32, K, interpret=False):
+        """ONE jit: fused multi-limb Mosaic front-end + sort-count.
+        Sentinel (all-ones) rows mark invalid windows — safe because a
+        canonical register is never all-ones (rc of all-ones is 0).
+
+        Unlike K <= 31 (split dispatches — _chunk_count_u32), the
+        one-jit form WINS for multiword at the small default chunks:
+        627.6 vs 530.8 Mb/s at 2^19, 487.0 vs 486.0 at 2^20 on v5e
+        (ROUND7B/7C_r05.jsonl) — the extra dispatch round trip costs
+        more than the M-operand sort's relayout exposure."""
         from ..ops.pallas.multiword_kernel import canonical_windows_mw_pallas
 
-        return canonical_windows_mw_pallas(
+        limbs, n_bad, n_amb = canonical_windows_mw_pallas(
             v_u32, K, V=_V_U32, interpret=interpret
         )
-
-    @jax.jit
-    def count_fn_mw(limbs):
-        """Dispatch 2: multi-limb sort-count.  Split from the front-end
-        so the sort gets its own program (see _chunk_count_u32: the
-        Mosaic->sort relayout costs ~7.5 ms/2^24 when fused)."""
         ones = jnp.asarray(0xFFFFFFFF, jnp.uint32)
         is_sent = None
         for x in limbs:
             s = x == ones
             is_sent = s if is_sent is None else is_sent & s
-        return sort_count_mw(limbs, ~is_sent, key_bits=2 * K)
-
-    def chunk_fn_u32(v_u32, K, interpret=False):
-        limbs, n_bad, n_amb = fe_fn_u32(v_u32, K, interpret)
-        ulimbs, counts, nu = count_fn_mw(limbs)
+        ulimbs, counts, nu = sort_count_mw(limbs, ~is_sent, key_bits=2 * K)
         return ulimbs, counts, nu, n_bad, n_amb
 
+    # smaller default chunks than the flagship: the M-key sort keeps the
+    # same O(log^2 n) stage economics, and 2^19 measured 486.7 Mb/s
+    # (2.4% spread) vs 402.8 at 2^20 in interleaved passes (ROUND7C)
+    chunk_size = config.chunk_size
+    if config.chunk_size == CountConfig.chunk_size:
+        chunk_size = 1 << 19
     # stride = windows per chunk; the old max(..., K) clamp skipped
     # window starts whenever K <= chunk_size < 2K-1 (round-4 review)
-    step = config.chunk_size - (K - 1)
+    step = chunk_size - (K - 1)
     starts = list(range(0, max(L - K + 1, 1), step))
 
     def _merge(a, b):
@@ -461,11 +463,24 @@ def _canonical_count_multiword(data, config: CountConfig):
     dev_invalid = jnp.zeros((), jnp.int32)
     dev_ambig = jnp.zeros((), jnp.int32)
     total_pad = 0
+
+    def _drain(out):
+        # deferred capacity fetch: by drain time the async nu copy has
+        # landed, so the per-chunk host round trip is off the hot path
+        # (the K <= 31 streamed path's DrainQueue protocol)
+        ulimbs, counts, nu = out
+        climbs, ccnt = compact_counts_mw(ulimbs, counts)
+        bcap = _next_pow2(max(int(nu), 1))
+        stack.push((tuple(x[:bcap] for x in climbs), ccnt[:bcap]))
+
+    from ..utils.streamq import DrainQueue
+
+    queue = DrainQueue(_drain, nu_index=2)
     for start in starts:
-        chunk = arr[start : start + config.chunk_size]
+        chunk = arr[start : start + chunk_size]
         pad = 0
-        if len(starts) > 1 and chunk.shape[0] < config.chunk_size:
-            pad = config.chunk_size - chunk.shape[0]
+        if len(starts) > 1 and chunk.shape[0] < chunk_size:
+            pad = chunk_size - chunk.shape[0]
             chunk = np.concatenate([chunk, np.full(pad, ord("N"), np.uint8)])
         if use_pallas:
             v, host_pad = _pad_to_u32_view(chunk)
@@ -481,9 +496,8 @@ def _canonical_count_multiword(data, config: CountConfig):
         if len(starts) == 1:
             acc = (ulimbs, counts)
             break
-        ulimbs, counts = compact_counts_mw(ulimbs, counts)
-        bcap = _next_pow2(max(int(nu), 1))
-        stack.push((tuple(x[:bcap] for x in ulimbs), counts[:bcap]))
+        queue.push((ulimbs, counts, nu))
+    queue.flush()
 
     if acc is None and len(stack):
         acc = stack.fold()

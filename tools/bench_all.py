@@ -137,6 +137,7 @@ def main():
     # ---- config 2b: K=47 multi-limb canonical counting (fused Mosaic
     # front-end for K in 32..63, ops/pallas/multiword_kernel.py) ----
     if on_tpu:
+        from kmers_tpu.pipelines.canonical_count import _canonical_count_multiword  # noqa: F401
         from kmers_tpu.ops.multiword import sort_count_mw
         from kmers_tpu.ops.pallas.multiword_kernel import (
             canonical_windows_mw_pallas,
@@ -152,12 +153,13 @@ def main():
                 is_sent = s if is_sent is None else is_sent & s
             return sort_count_mw(limbs, ~is_sent, key_bits=2 * 47)
 
-        # default-chunk protocol (the M+1-operand sort has the same
-        # O(log^2 n) stage economics: 231 -> 349 Mb/s from 2^24 to 2^20
-        # chunks, ROUND6K_r04.jsonl)
+        # the multiword pipeline's adopted dispatch: ONE jit (FE + sort —
+        # the split form loses at small chunks, ROUND7B/7C_r05.jsonl) at
+        # 2^19-base chunks (486.7 Mb/s, 2.4% spread, vs 402.8 at 2^20)
+        CH47 = 1 << 19
         args47 = []
-        for c in range(L2 // CH):
-            v47, _ = _pad_to_u32_view(acgt[c * CH : (c + 1) * CH].copy())
+        for c in range(L2 // CH47):
+            v47, _ = _pad_to_u32_view(acgt[c * CH47 : (c + 1) * CH47].copy())
             args47.append(jax.device_put(v47))
 
         def count47_default():
