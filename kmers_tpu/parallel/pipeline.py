@@ -67,9 +67,10 @@ class ShardedCountConfig:
     #: Overflow is detected and reported, never silently dropped.
     bucket_factor: float = 2.0
     #: bases per device per jitted dispatch; slabs longer than this are
-    #: streamed through the level-stack accumulator.  2^21 for the same
-    #: sort-stage economics as CountConfig.chunk_size.
-    chunk_size: int = 1 << 21
+    #: streamed through the level-stack accumulator.  2^20 for the same
+    #: sort-stage economics as CountConfig.chunk_size (461.1 vs 449.0
+    #: Mb/s at 2^21 in interleaved same-session medians, ROUND7E_r05).
+    chunk_size: int = 1 << 20
     #: use the fused Mosaic window kernel per device; None = auto (TPU only).
     use_pallas: bool | None = None
     #: run the kernel in interpreter mode (CPU testing of the kernel path).
