@@ -27,6 +27,7 @@ from ..ops.encode import classify_2bit
 from ..ops.minimizer import minimizers as _minimizers
 from ..ops.windows import canonical_windows_from_codes
 from .mesh import data_mesh
+from .pipeline import _fetch_np, _put_sharded
 
 __all__ = ["sharded_minimizer_select"]
 
@@ -148,16 +149,16 @@ def sharded_minimizer_select(
     axis = mesh.axis_names[0]
     step = _minimizer_step(mesh, K, W, shard, n_global, skip_ambiguous)
     sharding = NamedSharding(mesh, P(axis, None))
-    mh, ml, gpos, n_bad = step(jax.device_put(shards, sharding))
+    mh, ml, gpos, n_bad = step(_put_sharded(shards, sharding))
     # padding never counts as bad: under skipping, pad 'N' is ambiguous
     # (allowed); otherwise pad 'A' is certain
-    if int(np.asarray(n_bad)[0]) > 0:
+    if int(_fetch_np(n_bad)[0]) > 0:
         msg = "<invalid base>" if skip_ambiguous else "<ambiguous or invalid base>"
         raise EncodeError(DNAAlphabet2(), msg)
     vals = (
-        np.asarray(mh).reshape(-1).astype(np.uint64) << np.uint64(32)
-    ) | np.asarray(ml).reshape(-1).astype(np.uint64)
-    pos = np.asarray(gpos).reshape(-1).astype(np.int64)
+        _fetch_np(mh).reshape(-1).astype(np.uint64) << np.uint64(32)
+    ) | _fetch_np(ml).reshape(-1).astype(np.uint64)
+    pos = _fetch_np(gpos).reshape(-1).astype(np.int64)
     keep = pos >= 0
     vals, pos = vals[keep], pos[keep]
     # dedup consecutive equal positions (within and across shards)

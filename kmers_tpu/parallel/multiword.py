@@ -35,6 +35,7 @@ from ..ops.multiword import (
 )
 from ..ops.windows import window_valid_mask
 from .mesh import data_mesh
+from .pipeline import _fetch_np, _put_sharded
 from .pipeline import _shard_with_halo
 
 __all__ = ["sharded_canonical_count_mw", "exchange_and_merge_mw"]
@@ -233,23 +234,23 @@ def sharded_canonical_count_mw(
     step = sharded_count_step_mw(mesh, K, shard, cap)
     axis = mesh.axis_names[0]
     sharding = NamedSharding(mesh, P(axis, None))
-    shards_dev = jax.device_put(shards, sharding)
+    shards_dev = _put_sharded(shards, sharding)
     ulimbs, cnt, nu, n_invalid, overflow = step(shards_dev)
 
     pad = n_dev * shard - L
-    if int(np.asarray(n_invalid)[0]) - pad > 0:
+    if int(_fetch_np(n_invalid)[0]) - pad > 0:
         from ..alphabets import EncodeError, DNAAlphabet2
 
         raise EncodeError(DNAAlphabet2(), "<batch input>")
-    if int(np.asarray(overflow)[0]) > 0:
+    if int(_fetch_np(overflow)[0]) > 0:
         raise RuntimeError(
             "hash-prefix bucket overflow; increase bucket_factor"
         )
 
-    cnt = np.asarray(cnt).reshape(-1)
+    cnt = _fetch_np(cnt).reshape(-1)
     keep = cnt > 0
     vals = mw_to_numpy(
-        tuple(np.asarray(x).reshape(-1)[keep] for x in ulimbs)
+        tuple(_fetch_np(x).reshape(-1)[keep] for x in ulimbs)
     )
     cnt = cnt[keep].astype(np.int64)
     order = np.argsort([int(v) for v in vals], kind="stable")

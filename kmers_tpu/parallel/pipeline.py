@@ -528,8 +528,12 @@ def _fetch_np(x) -> np.ndarray:
     Under ``jax.distributed`` (multi-controller SPMD) each process holds
     only its addressable shards; ``process_allgather`` replicates the
     value so every process sees the same full array — the DCN twin of a
-    plain ``np.asarray``."""
-    if getattr(x, "is_fully_addressable", True):
+    plain ``np.asarray``.  The branch is on the PROCESS COUNT, never on
+    per-array addressability: allgather is a collective, and a mesh that
+    happens to be fully addressable on one process but not another (e.g.
+    a 1-device mesh in a 2-process job) would deadlock if only some
+    processes entered it."""
+    if jax.process_count() == 1 or not hasattr(x, "is_fully_addressable"):
         return np.asarray(x)
     from jax.experimental import multihost_utils
 
@@ -540,11 +544,13 @@ def _put_sharded(view: np.ndarray, sharding):
     """Stage host rows onto the mesh: plain device_put in one process;
     per-process shard materialization (``make_array_from_callback``) when
     the mesh spans processes — every process holds the full host rows
-    (deterministic input) and contributes only its addressable shards."""
+    (deterministic input) and contributes only its addressable shards.
+    ``dtype`` is passed explicitly: a process owning no shard of the
+    target mesh (legal in multi-controller) cannot infer it."""
     if jax.process_count() == 1:
         return jax.device_put(view, sharding)
     return jax.make_array_from_callback(
-        view.shape, sharding, lambda idx: view[idx]
+        view.shape, sharding, lambda idx: view[idx], dtype=view.dtype
     )
 
 

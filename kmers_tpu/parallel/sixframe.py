@@ -35,7 +35,7 @@ from ..ops.count import sort_count
 from ..ops.encode import classify_2bit, lookup_bytes
 from ..ops.windows import window_valid_mask
 from .mesh import data_mesh
-from .pipeline import exchange_and_merge
+from .pipeline import _fetch_np, _put_sharded, exchange_and_merge
 
 __all__ = ["SixFrameCountConfig", "sharded_sixframe_aa_count"]
 
@@ -592,7 +592,7 @@ def _streamed_sixframe_count_mw(
     merge = _merge_step_mw(mesh, M)
 
     def _slice_nu(tbl, nu):
-        cap = _next_pow2(max(int(np.asarray(nu).max()), 1))
+        cap = _next_pow2(max(int(_fetch_np(nu).max()), 1))
         if n_dev == 1:
             return tuple(x[:cap] for x in tbl)
         return tuple(
@@ -630,7 +630,7 @@ def _streamed_sixframe_count_mw(
             )
         pad3 = np.asarray([B - b_true], np.int32)
         out = count(
-            jax.device_put(np.ascontiguousarray(rows), sharding), pad3
+            _put_sharded(np.ascontiguousarray(rows), sharding), pad3
         )
         queue.push(out)
     queue.flush()
@@ -641,9 +641,9 @@ def _streamed_sixframe_count_mw(
     exchange = _exchange_step_mw(mesh, M, cap)
     out = exchange(*tbl)
     ulimbs, cnt, _nu, overflow = out[:M], out[M], out[M + 1], out[M + 2]
-    total_valid = int(np.asarray(dev_valid).sum())
+    total_valid = int(_fetch_np(dev_valid).sum())
     if checked:
-        total_counted = int(np.asarray(dev_cnt).sum())
+        total_counted = int(_fetch_np(dev_cnt).sum())
         if total_valid != total_counted:
             raise RuntimeError(
                 "checked mode: count conservation violated in the "
@@ -737,14 +737,14 @@ def sharded_sixframe_aa_count(
         ulimbs, cnt, overflow, total_valid = _streamed_sixframe_count_mw(
             shards, shard, mesh, config, sharding, tbl_bytes
         )
-        if int(np.asarray(overflow)[0]) > 0:
+        if int(_fetch_np(overflow)[0]) > 0:
             raise RuntimeError(
                 "hash-prefix bucket overflow; increase bucket_factor"
             )
-        cnt = np.asarray(cnt).reshape(-1)
+        cnt = _fetch_np(cnt).reshape(-1)
         keep = cnt > 0
         kmers = mw_to_numpy(
-            tuple(np.asarray(x).reshape(-1)[keep] for x in ulimbs)
+            tuple(_fetch_np(x).reshape(-1)[keep] for x in ulimbs)
         )
         cnt = cnt[keep].astype(np.int64)
         if checked_mode() and int(cnt.sum()) != total_valid:
@@ -770,13 +770,13 @@ def sharded_sixframe_aa_count(
     uh, ul, cnt, overflow, total_valid = _streamed_sixframe_count(
         shards, shard, mesh, config, sharding, tbl_bytes
     )
-    if int(np.asarray(overflow)[0]) > 0:
+    if int(_fetch_np(overflow)[0]) > 0:
         raise RuntimeError(
             "hash-prefix bucket overflow; increase bucket_factor"
         )
-    uh = np.asarray(uh).reshape(-1).astype(np.uint64)
-    ul = np.asarray(ul).reshape(-1).astype(np.uint64)
-    cnt = np.asarray(cnt).reshape(-1)
+    uh = _fetch_np(uh).reshape(-1).astype(np.uint64)
+    ul = _fetch_np(ul).reshape(-1).astype(np.uint64)
+    cnt = _fetch_np(cnt).reshape(-1)
     kmers = (uh << np.uint64(32)) | ul
     keep = cnt > 0
     kmers, cnt = kmers[keep], cnt[keep].astype(np.int64)
@@ -877,7 +877,7 @@ def _streamed_sixframe_count(
     merge = _merge_step(mesh)
 
     def _slice_nu(tbl, nu):
-        cap = _next_pow2(max(int(np.asarray(nu).max()), 1))
+        cap = _next_pow2(max(int(_fetch_np(nu).max()), 1))
         if n_dev == 1:
             return tuple(x[:cap] for x in tbl)
         return tuple(
@@ -917,7 +917,7 @@ def _streamed_sixframe_count(
             bounds = np.zeros(128, np.int32)
             bounds[:4] = (H, H + b_true, 1, b_true + 1)
             out = count(
-                jax.device_put(rows_p.view("<u4"), sharding), bounds
+                _put_sharded(rows_p.view("<u4"), sharding), bounds
             )
             queue.push(out)
             continue
@@ -933,7 +933,7 @@ def _streamed_sixframe_count(
             )
         pad3 = np.asarray([B - b_true], np.int32)
         out = count(
-            jax.device_put(np.ascontiguousarray(rows), sharding), pad3
+            _put_sharded(np.ascontiguousarray(rows), sharding), pad3
         )
         queue.push(out)
     queue.flush()
@@ -943,9 +943,9 @@ def _streamed_sixframe_count(
     cap = max(int(np.ceil(C * config.bucket_factor / n_dev)), 1)
     exchange = _exchange_step(mesh, K, cap)
     uh, ul, cnt, nu, overflow = exchange(*tbl)
-    total_valid = int(np.asarray(dev_valid).sum())
+    total_valid = int(_fetch_np(dev_valid).sum())
     if checked:
-        total_counted = int(np.asarray(dev_cnt).sum())
+        total_counted = int(_fetch_np(dev_cnt).sum())
         if total_valid != total_counted:
             raise RuntimeError(
                 "checked mode: count conservation violated in the "

@@ -7,14 +7,30 @@ single-process virtual mesh cannot exercise — SURVEY.md §4 "how they'd
 test multi-node without a cluster").  Launch via tools/run_multiproc.py.
 
 Cross-process collectives use JAX's gloo CPU backend; inputs are
-deterministic (seeded) so every process builds identical host data, the
-standard multi-controller SPMD contract.
+deterministic (seeded) so every process builds identical host data (the
+standard multi-controller SPMD contract).  Six-frame and multiword
+expectations come precomputed from the runner's single-process run
+(``--oracle``): computations on sub-meshes that do not span every
+process are not legal mid-job, so cross-checks against 1-device runs
+happen outside the distributed job.
 """
 
 import argparse
 import json
 import os
 import sys
+
+import numpy as np
+
+
+def make_inputs(bases: int):
+    """Deterministic inputs shared by the runner's oracle pass and every
+    worker (same seed, same draw order)."""
+    rng = np.random.default_rng(123)
+    s = "".join("ACGTNACGT"[i] for i in rng.integers(0, 9, bases))
+    s6 = s[: min(bases, 30_000)]
+    s47 = "".join("ACGT"[i] for i in rng.integers(0, 4, 20_000))
+    return s, s6, s47
 
 
 def main() -> int:
@@ -24,6 +40,7 @@ def main() -> int:
     ap.add_argument("--port", type=int, required=True)
     ap.add_argument("--devices-per-proc", type=int, default=4)
     ap.add_argument("--bases", type=int, default=200_000)
+    ap.add_argument("--oracle", default=None)
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -43,7 +60,6 @@ def main() -> int:
         process_id=args.pid,
     )
 
-    import numpy as np
     from jax.sharding import Mesh
 
     from kmers_tpu.parallel import ShardedCountConfig, sharded_canonical_count
@@ -57,8 +73,7 @@ def main() -> int:
     n_local = len(jax.local_devices())
     mesh = Mesh(np.array(jax.devices()), ("data",))
 
-    rng = np.random.default_rng(123)
-    s = "".join("ACGTNACGT"[i] for i in rng.integers(0, 9, args.bases))
+    s, s6, s47 = make_inputs(args.bases)
 
     # single-chip oracle, computed locally in this process (no mesh)
     k1, c1 = canonical_count(s, K=31)
@@ -75,6 +90,32 @@ def main() -> int:
     )
     streamed_ok = bool(np.array_equal(k1, k3) and np.array_equal(c1, c3))
 
+    # 3) six-frame AA counting and 4) K > 31 multi-limb counting over the
+    #    process-spanning mesh vs the runner's precomputed oracles
+    sixframe_ok = mw_ok = None
+    if args.oracle:
+        with open(args.oracle) as f:
+            oracle = json.load(f)
+        from kmers_tpu.parallel import (
+            SixFrameCountConfig,
+            sharded_canonical_count_mw,
+            sharded_sixframe_aa_count,
+        )
+
+        a6k, a6c = sharded_sixframe_aa_count(
+            s6, SixFrameCountConfig(K=5), mesh
+        )
+        sixframe_ok = bool(
+            [int(x) for x in a6k] == [int(x) for x in oracle["sixframe"]["kmers"]]
+            and list(map(int, a6c)) == oracle["sixframe"]["counts"]
+        )
+
+        a47k, a47c = sharded_canonical_count_mw(s47, K=47, mesh=mesh)
+        mw_ok = bool(
+            [int(x) for x in a47k] == [int(x) for x in oracle["mw47"]["kmers"]]
+            and list(map(int, a47c)) == oracle["mw47"]["counts"]
+        )
+
     result = {
         "process_id": args.pid,
         "n_processes": args.nproc,
@@ -84,7 +125,14 @@ def main() -> int:
         "distinct_kmers": int(k1.shape[0]),
         "single_dispatch_parity": single_ok,
         "streamed_parity": streamed_ok,
-        "ok": single_ok and streamed_ok,
+        "sixframe_parity": sixframe_ok,
+        "multiword_parity": mw_ok,
+        "ok": bool(
+            single_ok
+            and streamed_ok
+            and sixframe_ok is not False
+            and mw_ok is not False
+        ),
     }
     print("RESULT " + json.dumps(result), flush=True)
     return 0 if result["ok"] else 1

@@ -24,11 +24,44 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _make_oracle(root: str, bases: int, path: str):
+    """Precompute single-process six-frame/multiword expectations in a
+    SEPARATE process (computations on meshes that don't span every
+    process are not legal inside the distributed job, so the workers
+    compare against this file instead of a sub-mesh run)."""
+    script = f"""
+import json, sys
+sys.path.insert(0, {root!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from tools.multiproc_worker import make_inputs
+from kmers_tpu.parallel import SixFrameCountConfig, sharded_sixframe_aa_count, data_mesh
+from kmers_tpu.pipelines.canonical_count import CountConfig, canonical_count_bytes
+s, s6, s47 = make_inputs({bases})
+k6, c6 = sharded_sixframe_aa_count(s6, SixFrameCountConfig(K=5), data_mesh(1))
+k47, c47 = canonical_count_bytes(s47, CountConfig(K=47))
+json.dump({{
+  "sixframe": {{"kmers": [str(int(x)) for x in k6], "counts": [int(x) for x in c6]}},
+  "mw47": {{"kmers": [str(int(x)) for x in k47], "counts": [int(x) for x in c47]}},
+}}, open({path!r}, "w"))
+print("oracle written")
+"""
+    subprocess.run(
+        [sys.executable, "-c", script], check=True, cwd=root, timeout=600
+    )
+
+
 def run(nproc: int = 2, devices_per_proc: int = 4, bases: int = 200_000,
         timeout: float = 600.0):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tools", "multiproc_worker.py")
     port = _free_port()
+    import tempfile
+
+    oracle_path = os.path.join(
+        tempfile.mkdtemp(prefix="kmers-mp-"), "oracle.json"
+    )
+    _make_oracle(root, bases, oracle_path)
     procs = []
     for pid in range(nproc):
         procs.append(
@@ -40,6 +73,7 @@ def run(nproc: int = 2, devices_per_proc: int = 4, bases: int = 200_000,
                     "--port", str(port),
                     "--devices-per-proc", str(devices_per_proc),
                     "--bases", str(bases),
+                    "--oracle", oracle_path,
                 ],
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
