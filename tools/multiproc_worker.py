@@ -30,7 +30,8 @@ def make_inputs(bases: int):
     s = "".join("ACGTNACGT"[i] for i in rng.integers(0, 9, bases))
     s6 = s[: min(bases, 30_000)]
     s47 = "".join("ACGT"[i] for i in rng.integers(0, 4, 20_000))
-    return s, s6, s47
+    smin = s[: min(bases, 40_000)]
+    return s, s6, s47, smin
 
 
 def main() -> int:
@@ -73,7 +74,7 @@ def main() -> int:
     n_local = len(jax.local_devices())
     mesh = Mesh(np.array(jax.devices()), ("data",))
 
-    s, s6, s47 = make_inputs(args.bases)
+    s, s6, s47, smin = make_inputs(args.bases)
 
     # single-chip oracle, computed locally in this process (no mesh)
     k1, c1 = canonical_count(s, K=31)
@@ -92,7 +93,7 @@ def main() -> int:
 
     # 3) six-frame AA counting and 4) K > 31 multi-limb counting over the
     #    process-spanning mesh vs the runner's precomputed oracles
-    sixframe_ok = mw_ok = None
+    sixframe_ok = mw_ok = minimizer_ok = None
     if args.oracle:
         with open(args.oracle) as f:
             oracle = json.load(f)
@@ -116,6 +117,17 @@ def main() -> int:
             and list(map(int, a47c)) == oracle["mw47"]["counts"]
         )
 
+        # 5) minimizer selection over the process-spanning mesh
+        from kmers_tpu.parallel.minimizers import sharded_minimizer_select
+
+        mv, mp_ = sharded_minimizer_select(
+            smin, K=15, W=10, mesh=mesh, skip_ambiguous=True
+        )
+        minimizer_ok = bool(
+            [int(x) for x in mv] == [int(x) for x in oracle["minimizer"]["vals"]]
+            and list(map(int, mp_)) == oracle["minimizer"]["pos"]
+        )
+
     result = {
         "process_id": args.pid,
         "n_processes": args.nproc,
@@ -127,11 +139,13 @@ def main() -> int:
         "streamed_parity": streamed_ok,
         "sixframe_parity": sixframe_ok,
         "multiword_parity": mw_ok,
+        "minimizer_parity": minimizer_ok,
         "ok": bool(
             single_ok
             and streamed_ok
             and sixframe_ok is not False
             and mw_ok is not False
+            and minimizer_ok is not False
         ),
     }
     print("RESULT " + json.dumps(result), flush=True)

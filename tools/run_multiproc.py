@@ -36,13 +36,16 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 from tools.multiproc_worker import make_inputs
 from kmers_tpu.parallel import SixFrameCountConfig, sharded_sixframe_aa_count, data_mesh
+from kmers_tpu.pipelines import minimizer_select
 from kmers_tpu.pipelines.canonical_count import CountConfig, canonical_count_bytes
-s, s6, s47 = make_inputs({bases})
+s, s6, s47, smin = make_inputs({bases})
 k6, c6 = sharded_sixframe_aa_count(s6, SixFrameCountConfig(K=5), data_mesh(1))
 k47, c47 = canonical_count_bytes(s47, CountConfig(K=47))
+mv, mp = minimizer_select(smin, K=15, W=10, skip_ambiguous=True)
 json.dump({{
   "sixframe": {{"kmers": [str(int(x)) for x in k6], "counts": [int(x) for x in c6]}},
   "mw47": {{"kmers": [str(int(x)) for x in k47], "counts": [int(x) for x in c47]}},
+  "minimizer": {{"vals": [str(int(x)) for x in mv], "pos": [int(x) for x in mp]}},
 }}, open({path!r}, "w"))
 print("oracle written")
 """
