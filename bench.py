@@ -60,7 +60,7 @@ def main():
         _wait_for_healthy_chip()
     from kmers_tpu.pipelines.canonical_count import CountConfig
 
-    chunk = min(CountConfig().chunk_size, TOT)
+    chunk = min(CountConfig().resolved_chunk_size, TOT)
     n_chunks = TOT // chunk
 
     if use_pallas:

@@ -35,8 +35,7 @@ from ..ops.multiword import (
 )
 from ..ops.windows import window_valid_mask
 from .mesh import data_mesh
-from .pipeline import _fetch_np, _put_sharded
-from .pipeline import _shard_with_halo
+from .pipeline import _fetch_np, _put_sharded, _shard_with_halo
 
 __all__ = ["sharded_canonical_count_mw", "exchange_and_merge_mw"]
 

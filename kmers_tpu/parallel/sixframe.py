@@ -831,10 +831,15 @@ def _streamed_sixframe_count(
         if config.use_pallas is None
         else config.use_pallas
     )
+    if config.fused_fe and not use_pallas:
+        raise ValueError(
+            "fused_fe=True requires the pallas path (use_pallas) — the "
+            "fused front-end is a Mosaic kernel"
+        )
     fused = (
-        (use_pallas and K <= 7)
-        if config.fused_fe is None
-        else (config.fused_fe and K <= 7)
+        (config.fused_fe if config.fused_fe is not None else True)
+        and use_pallas
+        and K <= 7
     )
 
     if fused:
@@ -846,9 +851,8 @@ def _streamed_sixframe_count(
         # the body edge; rolled reads reach at most 24 bytes further).
         unit = 4 * _V_SIX
         lo_need = 2 * H + 24 + 3
+        # row4 >= unit = 16384 > lo_need (<= 69 at K <= 7), so B >= 3
         row4 = max(unit, _next_pow2(min(config.chunk_size, shard + lo_need)))
-        while row4 < lo_need:
-            row4 *= 2
         B = row4 - 2 * H - 24
         B -= B % 3
         n_chunks = -(-shard // B)

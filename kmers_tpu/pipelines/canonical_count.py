@@ -57,13 +57,15 @@ class CountConfig:
     #: semantics).
     skip_ambiguous: bool = True
     #: bases per jitted dispatch; inputs longer than this are streamed.
-    #: Default 2^20: XLA's sort is a comparator network with O(log^2 n)
+    #: None = auto: 2^20 for K <= 31, 2^19 for the K > 31 multi-limb
+    #: pipeline.  XLA's sort is a comparator network with O(log^2 n)
     #: stages, so smaller chunks cost fewer stages per element — the
     #: per-chunk dispatch measured 771.3 Mb/s at 2^20 (1.6% spread) vs
-    #: 720.3 at 2^21 and 504.2 at 2^24 (ROUND6B/6C_r04.jsonl; 2^19
-    #: still rises to 814.5 but with 5.8% spread and doubled per-chunk
-    #: streaming overheads).
-    chunk_size: int = 1 << 20
+    #: 720.3 at 2^21 and 504.2 at 2^24 (ROUND6B/6C_r04.jsonl; the
+    #: flagship's 2^19 rises to 814.5 but with 5.8% spread and doubled
+    #: per-chunk streaming overheads, while the multiword one-jit
+    #: dispatch at 2^19 is both faster and tight — ROUND7C_r05.jsonl).
+    chunk_size: int | None = None
     #: use the fused Mosaic window kernel; None = auto (TPU backends only).
     use_pallas: bool | None = None
 
@@ -72,6 +74,14 @@ class CountConfig:
             raise ValueError(
                 "array-plane canonical counting supports 1 <= K <= 100"
             )
+
+    @property
+    def resolved_chunk_size(self) -> int:
+        """The effective per-dispatch chunk size (explicit, else the
+        measured per-regime default)."""
+        if self.chunk_size is not None:
+            return self.chunk_size
+        return (1 << 19) if self.K > 31 else (1 << 20)
 
 
 @partial(jax.jit, static_argnames=("K", "use_pallas"))
@@ -229,9 +239,10 @@ def canonical_count_bytes(
         metrics.start_batch()
     arr = _as_byte_array(data)
     K = config.K
-    if config.chunk_size < K:
+    chunk_size = config.resolved_chunk_size
+    if chunk_size < K:
         raise ValueError(
-            f"chunk_size ({config.chunk_size}) must be >= K ({K})"
+            f"chunk_size ({chunk_size}) must be >= K ({K})"
         )
     L = arr.shape[0]
     if L < K:
@@ -242,7 +253,7 @@ def canonical_count_bytes(
     # of SURVEY.md §2.7 item 4, on one device)
     # stride = windows per chunk; the old max(..., K) clamp skipped
     # window starts whenever K <= chunk_size < 2K-1 (round-4 review)
-    step = config.chunk_size - (K - 1)
+    step = chunk_size - (K - 1)
     # the accumulator is the shared mergesort-style level stack
     # (utils/levelstack.py: O(c u log c) merge work, O(u log c) peak
     # memory over c chunks; merge order does not affect the table)
@@ -300,13 +311,13 @@ def canonical_count_bytes(
     # nu is index 3 of every chunk-count output (checked or not)
     queue = DrainQueue(_drain, nu_index=3)
     for start in starts:
-        chunk = arr[start : start + config.chunk_size]
+        chunk = arr[start : start + chunk_size]
         pad = 0
-        if len(starts) > 1 and chunk.shape[0] < config.chunk_size:
+        if len(starts) > 1 and chunk.shape[0] < chunk_size:
             # pad the tail chunk to the uniform shape with 'N' (the skip
             # class) so every dispatch reuses one compiled executable;
             # the padding's ambiguity count is discounted below
-            pad = config.chunk_size - chunk.shape[0]
+            pad = chunk_size - chunk.shape[0]
             chunk = np.concatenate(
                 [chunk, np.full(pad, ord("N"), np.uint8)]
             )
@@ -390,7 +401,8 @@ def _canonical_count_multiword(data, config: CountConfig):
 
     arr = _as_byte_array(data)
     K = config.K
-    if config.chunk_size < K:
+    chunk_size = config.resolved_chunk_size
+    if chunk_size < K:
         raise ValueError("chunk_size must be >= K")
     L = arr.shape[0]
     if L < K:
@@ -436,12 +448,10 @@ def _canonical_count_multiword(data, config: CountConfig):
         ulimbs, counts, nu = sort_count_mw(limbs, ~is_sent, key_bits=2 * K)
         return ulimbs, counts, nu, n_bad, n_amb
 
-    # smaller default chunks than the flagship: the M-key sort keeps the
-    # same O(log^2 n) stage economics, and 2^19 measured 486.7 Mb/s
-    # (2.4% spread) vs 402.8 at 2^20 in interleaved passes (ROUND7C)
-    chunk_size = config.chunk_size
-    if config.chunk_size == CountConfig.chunk_size:
-        chunk_size = 1 << 19
+    # K > 31 resolves to 2^19 default chunks (resolved_chunk_size): the
+    # M-key sort keeps the same O(log^2 n) stage economics, and 2^19
+    # measured 486.7 Mb/s (2.4% spread) vs 402.8 at 2^20 in interleaved
+    # passes (ROUND7C_r05.jsonl)
     # stride = windows per chunk; the old max(..., K) clamp skipped
     # window starts whenever K <= chunk_size < 2K-1 (round-4 review)
     step = chunk_size - (K - 1)

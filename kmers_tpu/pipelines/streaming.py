@@ -54,7 +54,7 @@ class StreamingCounter:
             )
         if not config.skip_ambiguous:
             raise ValueError("streaming counting requires skip_ambiguous=True")
-        if config.chunk_size < config.K:
+        if config.resolved_chunk_size < config.K:
             raise ValueError("chunk_size must be >= K")
         self.config = config
         self.metrics = metrics
@@ -101,9 +101,9 @@ class StreamingCounter:
         self._n_windows += L - K + 1
         # stride = windows per chunk (no clamp: chunk_size >= K is
         # validated, so step >= 1 and chunks tile all window starts)
-        step = self.config.chunk_size - (K - 1)
+        step = self.config.resolved_chunk_size - (K - 1)
         for start in range(0, max(L - K + 1, 1), step):
-            chunk = arr[start : start + self.config.chunk_size]
+            chunk = arr[start : start + self.config.resolved_chunk_size]
             # quantize the dispatch shape (pow2 buckets, 'N' padding) so
             # variable-length reader batches reuse a bounded set of
             # compiled executables instead of recompiling per length

@@ -206,6 +206,21 @@ class TestMultiwordPipeline:
         assert [int(x) for x in a[0]] == [int(x) for x in b[0]]
         assert np.array_equal(a[1], b[1])
 
+    def test_explicit_chunk_size_honored(self):
+        # an explicit chunk_size must never be silently overridden by
+        # the per-regime default (K>31 auto-resolves to 2^19 only when
+        # chunk_size is None)
+        from kmers_tpu.pipelines import CountConfig
+
+        assert CountConfig(K=47).resolved_chunk_size == 1 << 19
+        assert CountConfig(K=31).resolved_chunk_size == 1 << 20
+        assert CountConfig(K=47, chunk_size=1 << 20).resolved_chunk_size == (
+            1 << 20
+        )
+        assert CountConfig(K=31, chunk_size=1 << 19).resolved_chunk_size == (
+            1 << 19
+        )
+
     def test_chunked_duplicates_oracle(self, rng):
         # repeats spanning chunk boundaries: the device-side bitonic
         # accumulator must sum counts across chunks exactly

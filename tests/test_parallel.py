@@ -338,6 +338,21 @@ class TestSixFrame:
             int(k): v for k, v in oracle.items()
         }
 
+    def test_fused_fe_requires_pallas(self):
+        # fused_fe=True without the pallas path would silently feed u32
+        # rows to the jnp step (wrong results); it must raise instead
+        from kmers_tpu.parallel.sixframe import (
+            SixFrameCountConfig,
+            sharded_sixframe_aa_count,
+        )
+
+        with pytest.raises(ValueError, match="fused_fe"):
+            sharded_sixframe_aa_count(
+                "ACGT" * 200,
+                SixFrameCountConfig(K=5, use_pallas=False, fused_fe=True),
+                data_mesh(1),
+            )
+
     def test_fused_fe_multichunk_stream(self):
         # device slabs longer than one fused row stream through the
         # level-stack (3+ chunks) and still match the jnp pipeline

@@ -109,7 +109,7 @@ def main():
         )
 
         L2 = min(1 << 24, L)
-        CH = min(CountConfig().chunk_size, L2)
+        CH = min(CountConfig().resolved_chunk_size, L2)
         args2 = []
         for c in range(L2 // CH):
             v, _ = _pad_to_u32_view(acgt[c * CH : (c + 1) * CH].copy())
@@ -137,7 +137,6 @@ def main():
     # ---- config 2b: K=47 multi-limb canonical counting (fused Mosaic
     # front-end for K in 32..63, ops/pallas/multiword_kernel.py) ----
     if on_tpu:
-        from kmers_tpu.pipelines.canonical_count import _canonical_count_multiword  # noqa: F401
         from kmers_tpu.ops.multiword import sort_count_mw
         from kmers_tpu.ops.pallas.multiword_kernel import (
             canonical_windows_mw_pallas,
