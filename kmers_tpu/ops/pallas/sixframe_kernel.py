@@ -46,7 +46,11 @@ if HAVE_PALLAS:  # pragma: no branch
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["sixframe_windows_u32_pallas", "sixframe_tbl16"]
+__all__ = [
+    "sixframe_windows_u32_pallas",
+    "sixframe_windows_mw_u32_pallas",
+    "sixframe_tbl16",
+]
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -258,3 +262,177 @@ def sixframe_windows_u32_pallas(
         interpret=interpret,
     )(v_u32.reshape(1, -1), v_u32.reshape(1, -1), bounds_i32.reshape(1, -1))
     return hi.reshape(-1), lo.reshape(-1), cnt[0, 0]
+
+
+def _kernel_sixframe_mw(
+    v_ref, next_ref, bounds_ref, *rest,
+    K: int, V: int, M: int, tbl16: tuple, interpret: bool,
+):
+    """Multi-limb twin of :func:`_kernel_sixframe` for 8 <= K <= 32
+    amino acids (M = ceil(8K/32) big-endian uint32 limbs per window).
+
+    Identical structure — forward-coordinates dual-strand AA streams,
+    per-o rolled accumulation, in-kernel ownership — but windows emit as
+    M limb streams plus an EXPLICIT validity stream: at K = 4m the
+    register fills 32*M bits exactly, so an all-ones sentinel could
+    collide with a real window (the same reason ``sort_count_mw`` keeps
+    its flag operand at those widths)."""
+    limb_refs = rest[:M]
+    valid_ref = rest[M]
+    cnt_ref = rest[M + 1]
+    pid = pl.program_id(0)
+    last_block = pid == pl.num_programs(0) - 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+
+    p8, f8, _, _ = _group8_of_u32(v_ref[:])
+    p8n, f8n, _, _ = _group8_of_u32(next_ref[:])
+    p8n = jnp.where(last_block, jnp.asarray(0, _U32), p8n)
+    f8n = jnp.where(last_block, jnp.asarray(0xFF, _U32), f8n)
+
+    def rolled(this, nxt, d):
+        if d == 0:
+            return this
+        if interpret:
+            a = jnp.roll(this, -d, axis=1)
+            b = jnp.roll(nxt, -d, axis=1)
+        else:
+            a = pltpu.roll(this, np.int32(V - d), axis=1)
+            b = pltpu.roll(nxt, np.int32(V - d), axis=1)
+        return jnp.where(lane < V - d, a, b)
+
+    def ring1(x):
+        return jnp.roll(x, -1, axis=1) if interpret else pltpu.roll(
+            x, np.int32(V - 1), axis=1
+        )
+
+    g2 = (p8 << 8) | rolled(p8, p8n, 1)
+    fg2 = (f8 << 8) | rolled(f8, f8n, 1)
+    g2n = (p8n << 8) | ring1(p8n)
+    fg2n = (f8n << 8) | ring1(f8n)
+
+    aa16, aa16n, cfv, cfvn = [], [], [], []
+    m63 = jnp.asarray(63, _U32)
+    for t in range(4):
+        sh = 10 - 2 * t
+        aa16.append(_tree16((g2 >> sh) & m63, tbl16))
+        aa16n.append(_tree16((g2n >> sh) & m63, tbl16))
+        cfv.append((fg2 >> sh) & m63)
+        cfvn.append((fg2n >> sh) & m63)
+
+    zeros = lambda: jnp.zeros((1, V), _U32)
+    fw = [[zeros() for _ in range(M)] for _ in range(4)]
+    rv = [[zeros() for _ in range(M)] for _ in range(4)]
+    bad = [zeros() for _ in range(4)]
+    m8 = jnp.asarray(0xFF, _U32)
+
+    for o in range(3 * K + 1):
+        d, tp = divmod(o, 4)
+        aa = rolled(aa16[tp], aa16n[tp], d)
+        cf = rolled(cfv[tp], cfvn[tp], d)
+        aaF = aa & m8
+        aaR = aa >> 8
+        for t0 in (o % 3, o % 3 + 3):
+            if t0 > 3:
+                continue
+            k = (o - t0) // 3
+            if not 0 <= k < K:
+                continue
+            j = K - 1 - k  # fw byte index (0 = LSB; earliest codon highest)
+            fw[t0][M - 1 - j // 4] = fw[t0][M - 1 - j // 4] | (
+                aaF << (8 * (j % 4))
+            )
+            rv[t0][M - 1 - k // 4] = rv[t0][M - 1 - k // 4] | (
+                aaR << (8 * (k % 4))
+            )
+            bad[t0] = bad[t0] | cf
+
+    b_flo = bounds_ref[0, 0]
+    b_fhi = bounds_ref[0, 1]
+    b_rlo = bounds_ref[0, 2]
+    b_rhi = bounds_ref[0, 3]
+    one = jnp.asarray(1, _U32)
+    zero = jnp.asarray(0, _U32)
+    nv = None
+    for t0 in range(4):
+        pos = 4 * (pid * V + lane) + t0
+        okw = bad[t0] == 0
+        emit_f = okw & (pos >= b_flo) & (pos < b_fhi)
+        emit_r = okw & (pos >= b_rlo) & (pos < b_rhi)
+        for m in range(M):
+            limb_refs[m][0:1, t0 * V : (t0 + 1) * V] = jnp.where(
+                emit_f, fw[t0][m], zero
+            )
+            limb_refs[m][0:1, (4 + t0) * V : (5 + t0) * V] = jnp.where(
+                emit_r, rv[t0][m], zero
+            )
+        valid_ref[0:1, t0 * V : (t0 + 1) * V] = jnp.where(emit_f, one, zero)
+        valid_ref[0:1, (4 + t0) * V : (5 + t0) * V] = jnp.where(
+            emit_r, one, zero
+        )
+        t_nv = jnp.sum(emit_f.astype(jnp.int32), dtype=jnp.int32) + jnp.sum(
+            emit_r.astype(jnp.int32), dtype=jnp.int32
+        )
+        nv = t_nv if nv is None else nv + t_nv
+
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    tile_counts = jnp.where(lane128 == 0, nv, np.int32(0))
+
+    @pl.when(pid == 0)
+    def _():
+        cnt_ref[:] = tile_counts
+
+    @pl.when(pid != 0)
+    def _():
+        cnt_ref[:] = cnt_ref[:] + tile_counts
+
+
+def sixframe_windows_mw_u32_pallas(
+    v_u32, bounds_i32, K: int, V: int = 4096, interpret: bool = False,
+    tbl16: tuple | None = None,
+):
+    """Multi-limb six-frame AA window registers (8 <= K <= 32 amino
+    acids) over the u32 view of a byte row; same contract as
+    :func:`sixframe_windows_u32_pallas` but returns
+    ``(limbs tuple, valid, n_valid)`` — M big-endian uint32 limb streams
+    of length ``8 * len(v_u32)`` plus an explicit uint32 validity stream
+    (1 = owned and unambiguous), for ``sort_count_mw``'s flag operand."""
+    if not 8 <= K <= 32:
+        raise ValueError("fused multi-limb six-frame windows support 8 <= K <= 32")
+    if tbl16 is None:
+        raise ValueError("tbl16 (sixframe_tbl16 of the codon table) required")
+    M = -(-8 * K // 32)
+    n4 = v_u32.shape[0]
+    if n4 % V != 0:
+        raise ValueError(f"u32 view length {n4} must be a multiple of V={V}")
+    grid = n4 // V
+    last = grid - 1
+    kern = partial(
+        _kernel_sixframe_mw, K=K, V=V, M=M, tbl16=tuple(tbl16),
+        interpret=interpret,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, V), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, V),
+                lambda i: (0, jnp.minimum(i + 1, last)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8 * V), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for _ in range(M + 1)
+        ]
+        + [pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 8 * n4), _U32) for _ in range(M + 1)
+        ]
+        + [jax.ShapeDtypeStruct((1, 128), jnp.int32)],
+        interpret=interpret,
+    )(v_u32.reshape(1, -1), v_u32.reshape(1, -1), bounds_i32.reshape(1, -1))
+    limbs = tuple(x.reshape(-1) for x in out[:M])
+    valid = out[M].reshape(-1)
+    return limbs, valid, out[M + 1][0, 0]

@@ -430,6 +430,70 @@ def _sixframe_step(mesh: Mesh, K: int, cap: int, tbl_bytes: bytes):
     return jax.jit(mapped)
 
 
+@functools.lru_cache(maxsize=64)
+def _sixframe_fe_fused_step_mw(
+    mesh: Mesh, K: int, tbl_bytes: bytes, interpret: bool
+):
+    """Multi-limb fused Mosaic front-end (dispatch 1): u32 byte rows ->
+    M limb streams + explicit validity + per-device valid count."""
+    from ..ops.pallas.sixframe_kernel import (
+        sixframe_tbl16,
+        sixframe_windows_mw_u32_pallas,
+    )
+
+    axis = mesh.axis_names[0]
+    tbl16 = sixframe_tbl16(tbl_bytes)
+
+    def body(rows_u32, bounds):
+        limbs, valid, nv = sixframe_windows_mw_u32_pallas(
+            rows_u32[0], bounds, K, V=_V_SIX, interpret=interpret,
+            tbl16=tbl16,
+        )
+        return (*limbs, valid, nv[None])
+
+    from ..ops.multiword import n_limbs
+
+    M = n_limbs(K, bps=8)
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None)),
+        out_specs=tuple(P(axis) for _ in range(M + 2)),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _sixframe_tail_step_mw(mesh: Mesh, K: int, checked: bool = False):
+    """Multi-limb sort-count over the fused FE's streams (dispatch 2)."""
+    from ..ops.multiword import n_limbs, sort_count_mw
+
+    axis = mesh.axis_names[0]
+    M = n_limbs(K, bps=8)
+
+    def body(*args):
+        limbs = args[:M]
+        valid = args[M] != 0
+        ulimbs, cnt, nu = sort_count_mw(limbs, valid, key_bits=8 * K)
+        out = (ulimbs, cnt, nu[None])
+        if checked:
+            out = out + (jnp.sum(cnt, dtype=_I32)[None],)
+        return out
+
+    spec = P(axis)  # 1-D table boundaries (see pipeline._compact_body)
+    outs = (tuple(spec for _ in range(M)), spec, P(axis))
+    if checked:
+        outs = outs + (P(axis),)
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec,) * (M + 1),
+        out_specs=outs,
+    )
+    return jax.jit(mapped)
+
+
 def _sixframe_local_body_mw(rows, pad3, K: int, tbl, checked: bool):
     """Multi-limb twin of :func:`_sixframe_local_body` (K > 7 amino
     acids) — per-chunk frame windows + M-limb sort/RLE, no exchange."""
@@ -464,10 +528,23 @@ def _sixframe_local_body_mw(rows, pad3, K: int, tbl, checked: bool):
 
 @functools.lru_cache(maxsize=64)
 def _sixframe_local_step_mw(
-    mesh: Mesh, K: int, tbl_bytes: bytes, checked: bool = False
+    mesh: Mesh, K: int, tbl_bytes: bytes, checked: bool = False,
+    fused: bool = False, interpret: bool = False,
 ):
     from ..ops.multiword import n_limbs
 
+    if fused:
+        M = n_limbs(K, bps=8)
+        fe = _sixframe_fe_fused_step_mw(mesh, K, tbl_bytes, interpret)
+        tail = _sixframe_tail_step_mw(mesh, K, checked)
+
+        def step(rows_u32, bounds):
+            out = fe(rows_u32, bounds)
+            limbs, valid, n_valid = out[:M], out[M], out[M + 1]
+            tout = tail(*limbs, valid)
+            return (*tout[:3], n_valid, *tout[3:])
+
+        return step
     axis = mesh.axis_names[0]
     M = n_limbs(K, bps=8)
     tbl = np.frombuffer(tbl_bytes, np.uint8)
@@ -572,22 +649,49 @@ def _streamed_sixframe_count_mw(
     H = 3 * K
     M = n_limbs(K, bps=8)
     checked = checked_mode()
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        if config.use_pallas is None
+        else config.use_pallas
+    )
+    if config.fused_fe and not use_pallas:
+        raise ValueError(
+            "fused_fe=True requires the pallas path (use_pallas) — the "
+            "fused front-end is a Mosaic kernel"
+        )
+    fused = (
+        (config.fused_fe if config.fused_fe is not None else True)
+        and use_pallas
+    )
 
-    B = min(config.chunk_size - config.chunk_size % 3, shard)
-    B = max(B, 3)
-    # XLA's sort pads to the next power of two: a window stream only a
-    # few entries past 2^m doubles the sort (measured 114 vs ~59 ms at
-    # 2^25+44 windows).  When the overhang is small, shave the body so
-    # the 2(B + 3K + 1) windows fit exactly.
-    T = 2 * (B + 3 * K + 1)
-    m = T.bit_length() - 1
-    if T > (1 << m) and (T - (1 << m)) <= (1 << m) // 16:
-        B2 = (1 << m) // 2 - 3 * K - 1
-        B = max(B2 - B2 % 3, 3)
-    n_chunks = -(-shard // B)
-    row_len = B + 2 * H
+    if fused:
+        # fused-FE geometry: power-of-two rows (see the K <= 7 branch)
+        unit = 4 * _V_SIX
+        lo_need = 2 * H + 24 + 3
+        # row4 >= unit = 16384 > lo_need (<= 219 at K <= 32), so B >= 3
+        row4 = max(unit, _next_pow2(min(config.chunk_size, shard + lo_need)))
+        B = row4 - 2 * H - 24
+        B -= B % 3
+        n_chunks = -(-shard // B)
+        row_len = B + 2 * H
+    else:
+        B = min(config.chunk_size - config.chunk_size % 3, shard)
+        B = max(B, 3)
+        # XLA's sort pads to the next power of two: a window stream only a
+        # few entries past 2^m doubles the sort (measured 114 vs ~59 ms at
+        # 2^25+44 windows).  When the overhang is small, shave the body so
+        # the 2(B + 3K + 1) windows fit exactly.
+        T = 2 * (B + 3 * K + 1)
+        m = T.bit_length() - 1
+        if T > (1 << m) and (T - (1 << m)) <= (1 << m) // 16:
+            B2 = (1 << m) // 2 - 3 * K - 1
+            B = max(B2 - B2 % 3, 3)
+        n_chunks = -(-shard // B)
+        row_len = B + 2 * H
 
-    count = _sixframe_local_step_mw(mesh, K, tbl_bytes, checked)
+    count = _sixframe_local_step_mw(
+        mesh, K, tbl_bytes, checked, fused, config.pallas_interpret
+    )
     compact = _compact_step_mw(mesh, M)
     merge = _merge_step_mw(mesh, M)
 
@@ -623,6 +727,16 @@ def _streamed_sixframe_count_mw(
     for c in range(n_chunks):
         rows = shards[:, c * B : c * B + row_len]
         b_true = min(B, shard - c * B)
+        if fused:
+            # uniform power-of-two u32 rows + in-kernel ownership bounds
+            # (see the K <= 7 fused branch)
+            rows_p = np.zeros((n_dev, row4), np.uint8)
+            rows_p[:, : rows.shape[1]] = rows
+            bounds = np.zeros(128, np.int32)
+            bounds[:4] = (H, H + b_true, 1, b_true + 1)
+            out = count(_put_sharded(rows_p.view("<u4"), sharding), bounds)
+            queue.push(out)
+            continue
         if rows.shape[1] < row_len:
             rows = np.concatenate(
                 [rows, np.zeros((n_dev, row_len - rows.shape[1]), np.uint8)],

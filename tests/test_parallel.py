@@ -338,6 +338,35 @@ class TestSixFrame:
             int(k): v for k, v in oracle.items()
         }
 
+    @pytest.mark.parametrize("n_dev,K", [(1, 9), (3, 15)])
+    def test_fused_fe_multilimb_parity(self, n_dev, K):
+        # multi-limb fused Mosaic FE (interpret): bit-exact vs the jnp
+        # pipeline and the python oracle for K > 7 amino acids
+        from kmers_tpu.parallel.sixframe import (
+            SixFrameCountConfig,
+            sharded_sixframe_aa_count,
+        )
+
+        rng = np.random.default_rng(47)
+        s = "".join("ACGTN"[i] for i in rng.integers(0, 5, 1500))
+        mesh = data_mesh(n_dev)
+        jnp_out = sharded_sixframe_aa_count(
+            s, SixFrameCountConfig(K=K), mesh
+        )
+        f_out = sharded_sixframe_aa_count(
+            s,
+            SixFrameCountConfig(
+                K=K, use_pallas=True, pallas_interpret=True, fused_fe=True
+            ),
+            mesh,
+        )
+        assert [int(x) for x in jnp_out[0]] == [int(x) for x in f_out[0]]
+        assert np.array_equal(jnp_out[1], f_out[1])
+        oracle = self._oracle(s, K)
+        assert dict(
+            zip([int(k) for k in f_out[0]], f_out[1].tolist())
+        ) == {int(k): v for k, v in oracle.items()}
+
     def test_fused_fe_requires_pallas(self):
         # fused_fe=True without the pallas path would silently feed u32
         # rows to the jnp step (wrong results); it must raise instead
