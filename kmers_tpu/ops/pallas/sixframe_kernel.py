@@ -84,17 +84,18 @@ def _tree16(cod, tbl16):
     return vals[0]
 
 
-def _kernel_sixframe(
-    v_ref, next_ref, bounds_ref, hi_ref, lo_ref, cnt_ref,
-    *, K: int, V: int, tbl16: tuple, interpret: bool,
-):
+def _dual_aa_streams(v_ref, next_ref, V: int, tbl16: tuple, interpret: bool):
+    """Shared kernel prologue: byte groups -> boundary-correct dual-AA
+    and codon-flag streams for the four byte slots of this tile AND the
+    next (the next tile's streams supply the roll carries; on the last
+    tile they are substituted with flagged padding).
+
+    Returns ``(aa16, aa16n, cfv, cfvn, rolled, lane)`` where ``rolled``
+    rolls any of these streams left by d across the tile boundary."""
     pid = pl.program_id(0)
     last_block = pid == pl.num_programs(0) - 1
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
 
-    # 8-bit packed code/flag group per u32 lane (4 bases each), this tile
-    # and the next (the next tile's groups double as the roll carries; on
-    # the last tile they are substituted with flagged padding)
     p8, f8, _, _ = _group8_of_u32(v_ref[:])
     p8n, f8n, _, _ = _group8_of_u32(next_ref[:])
     p8n = jnp.where(last_block, jnp.asarray(0, _U32), p8n)
@@ -116,7 +117,7 @@ def _kernel_sixframe(
     # 16-base double groups: base u (0..7) of (group j, group j+1) at
     # bits 14-2u; the codon at byte slot t is bits (14-2t)..(10-2t).
     # g2n's last lane wraps into tile i+2 — only its first lanes are
-    # ever selected by ``rolled`` (d <= 3K//4 <= 5), so that is benign.
+    # ever selected by ``rolled`` (d <= 3K//4 <= 24), so that is benign.
     def ring1(x):
         return jnp.roll(x, -1, axis=1) if interpret else pltpu.roll(
             x, np.int32(V - 1), axis=1
@@ -135,6 +136,35 @@ def _kernel_sixframe(
         aa16n.append(_tree16((g2n >> sh) & m63, tbl16))
         cfv.append((fg2 >> sh) & m63)
         cfvn.append((fg2n >> sh) & m63)
+    return aa16, aa16n, cfv, cfvn, rolled, lane
+
+
+def _accum_cnt(cnt_ref, nv):
+    """Shared kernel epilogue: accumulate this tile's valid-window count
+    into lane 0 of the counter block (TPU grid steps run sequentially).
+    dtype pinned to int32: under jax_enable_x64 an unpinned sum would
+    accumulate in int64, which Mosaic cannot lower."""
+    pid = pl.program_id(0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    tile_counts = jnp.where(lane128 == 0, nv, np.int32(0))
+
+    @pl.when(pid == 0)
+    def _():
+        cnt_ref[:] = tile_counts
+
+    @pl.when(pid != 0)
+    def _():
+        cnt_ref[:] = cnt_ref[:] + tile_counts
+
+
+def _kernel_sixframe(
+    v_ref, next_ref, bounds_ref, hi_ref, lo_ref, cnt_ref,
+    *, K: int, V: int, tbl16: tuple, interpret: bool,
+):
+    pid = pl.program_id(0)
+    aa16, aa16n, cfv, cfvn, rolled, lane = _dual_aa_streams(
+        v_ref, next_ref, V, tbl16, interpret
+    )
 
     zeros = lambda: jnp.zeros((1, V), _U32)
     fhi = [zeros() for _ in range(4)]
@@ -188,23 +218,12 @@ def _kernel_sixframe(
         lo_ref[0:1, (4 + t0) * V : (5 + t0) * V] = jnp.where(
             emit_r, rlo[t0], sent
         )
-        # dtype pinned: under jax_enable_x64 an unpinned sum accumulates
-        # in int64, which Mosaic cannot lower
         t_nv = jnp.sum(emit_f.astype(jnp.int32), dtype=jnp.int32) + jnp.sum(
             emit_r.astype(jnp.int32), dtype=jnp.int32
         )
         nv = t_nv if nv is None else nv + t_nv
 
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    tile_counts = jnp.where(lane128 == 0, nv, np.int32(0))
-
-    @pl.when(pid == 0)
-    def _():
-        cnt_ref[:] = tile_counts
-
-    @pl.when(pid != 0)
-    def _():
-        cnt_ref[:] = cnt_ref[:] + tile_counts
+    _accum_cnt(cnt_ref, nv)
 
 
 def sixframe_windows_u32_pallas(
@@ -281,43 +300,9 @@ def _kernel_sixframe_mw(
     valid_ref = rest[M]
     cnt_ref = rest[M + 1]
     pid = pl.program_id(0)
-    last_block = pid == pl.num_programs(0) - 1
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
-
-    p8, f8, _, _ = _group8_of_u32(v_ref[:])
-    p8n, f8n, _, _ = _group8_of_u32(next_ref[:])
-    p8n = jnp.where(last_block, jnp.asarray(0, _U32), p8n)
-    f8n = jnp.where(last_block, jnp.asarray(0xFF, _U32), f8n)
-
-    def rolled(this, nxt, d):
-        if d == 0:
-            return this
-        if interpret:
-            a = jnp.roll(this, -d, axis=1)
-            b = jnp.roll(nxt, -d, axis=1)
-        else:
-            a = pltpu.roll(this, np.int32(V - d), axis=1)
-            b = pltpu.roll(nxt, np.int32(V - d), axis=1)
-        return jnp.where(lane < V - d, a, b)
-
-    def ring1(x):
-        return jnp.roll(x, -1, axis=1) if interpret else pltpu.roll(
-            x, np.int32(V - 1), axis=1
-        )
-
-    g2 = (p8 << 8) | rolled(p8, p8n, 1)
-    fg2 = (f8 << 8) | rolled(f8, f8n, 1)
-    g2n = (p8n << 8) | ring1(p8n)
-    fg2n = (f8n << 8) | ring1(f8n)
-
-    aa16, aa16n, cfv, cfvn = [], [], [], []
-    m63 = jnp.asarray(63, _U32)
-    for t in range(4):
-        sh = 10 - 2 * t
-        aa16.append(_tree16((g2 >> sh) & m63, tbl16))
-        aa16n.append(_tree16((g2n >> sh) & m63, tbl16))
-        cfv.append((fg2 >> sh) & m63)
-        cfvn.append((fg2n >> sh) & m63)
+    aa16, aa16n, cfv, cfvn, rolled, lane = _dual_aa_streams(
+        v_ref, next_ref, V, tbl16, interpret
+    )
 
     zeros = lambda: jnp.zeros((1, V), _U32)
     fw = [[zeros() for _ in range(M)] for _ in range(4)]
@@ -374,16 +359,7 @@ def _kernel_sixframe_mw(
         )
         nv = t_nv if nv is None else nv + t_nv
 
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    tile_counts = jnp.where(lane128 == 0, nv, np.int32(0))
-
-    @pl.when(pid == 0)
-    def _():
-        cnt_ref[:] = tile_counts
-
-    @pl.when(pid != 0)
-    def _():
-        cnt_ref[:] = cnt_ref[:] + tile_counts
+    _accum_cnt(cnt_ref, nv)
 
 
 def sixframe_windows_mw_u32_pallas(

@@ -770,29 +770,33 @@ def _streamed_sharded_count(
 
     stack = LevelStack(_merge2, _slice2)
 
-    dev_bad = None
-    dev_valid = dev_cnt = None  # checked-mode conservation tallies
+    dev_bad = 0
+    dev_valid = dev_cnt = 0  # checked-mode conservation tallies
     n_steps = max(-(-shard // step_len), 1)
 
     def _drain(out):
         # consume one chunk's count output: accumulate error/conservation
-        # tallies on device, compact, and push to the level stack (the
-        # push's nu.max() is the stream's only per-chunk host fetch)
+        # tallies as host ints (the scalars were async-copied at push
+        # time, so the reads cost no round trip; host ints cannot
+        # overflow a device int32 past ~2^31 windows), then compact and
+        # push to the level stack
         nonlocal dev_bad, dev_valid, dev_cnt
         if checked:
             uh, ul, cnt, nu, n_valid, n_cnt, n_bad = out
-            dev_valid = n_valid if dev_valid is None else dev_valid + n_valid
-            dev_cnt = n_cnt if dev_cnt is None else dev_cnt + n_cnt
+            dev_valid += int(_fetch_np(n_valid).sum())
+            dev_cnt += int(_fetch_np(n_cnt).sum())
         else:
             uh, ul, cnt, nu, n_bad = out
-        dev_bad = n_bad if dev_bad is None else dev_bad + n_bad
+        dev_bad += int(_fetch_np(n_bad).sum())
         uh, ul, cnt = compact(uh, ul, cnt)
         stack.push(_slice_nu((uh, ul, cnt), nu))
 
     from ..utils.streamq import DrainQueue
 
-    # nu is index 3 of every count-step output (checked or not)
-    queue = DrainQueue(_drain, nu_index=3)
+    # prefetch the capacity scalar (index 3) + the tally scalars
+    queue = DrainQueue(
+        _drain, nu_index=(3, 4, 5, 6) if checked else (3, 4)
+    )
     for c in range(n_steps):
         lo_i = c * step_len
         rows = shards[:, lo_i : lo_i + row_len]
@@ -818,11 +822,11 @@ def _streamed_sharded_count(
     cap = max(int(np.ceil(C * config.bucket_factor / n_dev)), 1)
     exchange = _exchange_step(mesh, K, cap)
     uh, ul, cnt, nu, overflow = exchange(*tbl)
-    total_bad = int(_fetch_np(dev_bad).sum())
+    total_bad = dev_bad
     total_valid = None
     if checked:
-        total_valid = int(_fetch_np(dev_valid).sum())
-        total_counted = int(_fetch_np(dev_cnt).sum())
+        total_valid = dev_valid
+        total_counted = dev_cnt
         if total_valid != total_counted:
             raise RuntimeError(
                 "checked mode: count conservation violated in the "

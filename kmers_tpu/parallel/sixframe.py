@@ -60,7 +60,9 @@ class SixFrameCountConfig:
     #: split FE | sort dispatch + fused Pallas RLE (None = auto: TPU only).
     use_pallas: bool | None = None
     #: fully fused Mosaic front-end (classify + codon + dual-strand AA
-    #: windows in one kernel, K <= 7).  None = auto: follows use_pallas.
+    #: windows in one kernel; single-register for K <= 7, multi-limb for
+    #: K 8..32).  None = auto: follows use_pallas; explicit True without
+    #: the pallas path raises.
     fused_fe: bool | None = None
     #: run the RLE kernel in interpreter mode (CPU testing of that path).
     pallas_interpret: bool = False
@@ -278,6 +280,51 @@ import functools
 
 #: lane count per tile of the fused six-frame Mosaic kernel
 _V_SIX = 4096
+
+
+def _resolve_fused(config, use_pallas: bool) -> bool:
+    """Gate for the fused Mosaic front-end (shared by the K <= 7 and
+    multi-limb streamed drivers): explicit True without the pallas path
+    raises (silently dispatching u32 rows to the jnp step would return
+    wrong counts); None follows use_pallas."""
+    if config.fused_fe and not use_pallas:
+        raise ValueError(
+            "fused_fe=True requires the pallas path (use_pallas) — the "
+            "fused front-end is a Mosaic kernel"
+        )
+    return (
+        config.fused_fe if config.fused_fe is not None else True
+    ) and use_pallas
+
+
+def _fused_geometry(chunk_size: int, shard: int, H: int):
+    """Power-of-two row geometry for the fused front-end: device rows
+    pad to row4 bytes (a pow2 multiple of 4*_V_SIX) so the kernel's
+    2*row4 windows fit the sort's power of two exactly; the 24-byte tail
+    margin keeps every owned window's roll sources inside the padded
+    stream (anchors end 3K before the body edge; rolled reads reach at
+    most ~7 bytes further).  Returns (row4, B, row_len); row4 >= 16384 >
+    2H+27 for all K <= 32, so B >= 3."""
+    from ..ops.count import _next_pow2
+
+    lo_need = 2 * H + 24 + 3
+    row4 = max(4 * _V_SIX, _next_pow2(min(chunk_size, shard + lo_need)))
+    B = row4 - 2 * H - 24
+    B -= B % 3
+    return row4, B, B + 2 * H
+
+
+def _fused_chunk_args(shards, c: int, B: int, row_len: int, row4: int,
+                      H: int, b_true: int):
+    """One chunk's kernel inputs: the uniform pow2 u32 row (0x00 pad
+    flags as invalid) and the in-kernel ownership bounds clipped at
+    b_true (fw anchors [H, H+b), rv anchors [1, b+1))."""
+    rows = shards[:, c * B : c * B + row_len]
+    rows_p = np.zeros((shards.shape[0], row4), np.uint8)
+    rows_p[:, : rows.shape[1]] = rows
+    bounds = np.zeros(128, np.int32)
+    bounds[:4] = (H, H + b_true, 1, b_true + 1)
+    return rows_p.view("<u4"), bounds
 
 
 @functools.lru_cache(maxsize=64)
@@ -654,26 +701,11 @@ def _streamed_sixframe_count_mw(
         if config.use_pallas is None
         else config.use_pallas
     )
-    if config.fused_fe and not use_pallas:
-        raise ValueError(
-            "fused_fe=True requires the pallas path (use_pallas) — the "
-            "fused front-end is a Mosaic kernel"
-        )
-    fused = (
-        (config.fused_fe if config.fused_fe is not None else True)
-        and use_pallas
-    )
+    fused = _resolve_fused(config, use_pallas)
 
     if fused:
-        # fused-FE geometry: power-of-two rows (see the K <= 7 branch)
-        unit = 4 * _V_SIX
-        lo_need = 2 * H + 24 + 3
-        # row4 >= unit = 16384 > lo_need (<= 219 at K <= 32), so B >= 3
-        row4 = max(unit, _next_pow2(min(config.chunk_size, shard + lo_need)))
-        B = row4 - 2 * H - 24
-        B -= B % 3
+        row4, B, row_len = _fused_geometry(config.chunk_size, shard, H)
         n_chunks = -(-shard // B)
-        row_len = B + 2 * H
     else:
         B = min(config.chunk_size - config.chunk_size % 3, shard)
         B = max(B, 3)
@@ -708,34 +740,30 @@ def _streamed_sixframe_count_mw(
         lambda out: _slice_nu(out[: M + 1], out[M + 1]),
     )
 
-    dev_valid = dev_cnt = None
+    dev_valid = dev_cnt = 0
 
     def _drain(out):
+        # host-int tallies (see the K <= 7 driver)
         nonlocal dev_valid, dev_cnt
         ulimbs, cnt, nu, n_valid = out[:4]
-        dev_valid = n_valid if dev_valid is None else dev_valid + n_valid
+        dev_valid += int(_fetch_np(n_valid).sum())
         if checked:
-            n_cnt = out[4]
-            dev_cnt = n_cnt if dev_cnt is None else dev_cnt + n_cnt
+            dev_cnt += int(_fetch_np(out[4]).sum())
         packed = compact(*ulimbs, cnt)
         stack.push(_slice_nu(packed, nu))
 
     from ..utils.streamq import DrainQueue
 
-    # nu is index 2 of the multi-limb step output (limbs, cnt, nu, ...)
-    queue = DrainQueue(_drain, nu_index=2)
+    # prefetch the capacity scalar (index 2) + the tally scalars
+    queue = DrainQueue(_drain, nu_index=(2, 3, 4) if checked else (2, 3))
     for c in range(n_chunks):
         rows = shards[:, c * B : c * B + row_len]
         b_true = min(B, shard - c * B)
         if fused:
-            # uniform power-of-two u32 rows + in-kernel ownership bounds
-            # (see the K <= 7 fused branch)
-            rows_p = np.zeros((n_dev, row4), np.uint8)
-            rows_p[:, : rows.shape[1]] = rows
-            bounds = np.zeros(128, np.int32)
-            bounds[:4] = (H, H + b_true, 1, b_true + 1)
-            out = count(_put_sharded(rows_p.view("<u4"), sharding), bounds)
-            queue.push(out)
+            view, bounds = _fused_chunk_args(
+                shards, c, B, row_len, row4, H, b_true
+            )
+            queue.push(count(_put_sharded(view, sharding), bounds))
             continue
         if rows.shape[1] < row_len:
             rows = np.concatenate(
@@ -755,9 +783,9 @@ def _streamed_sixframe_count_mw(
     exchange = _exchange_step_mw(mesh, M, cap)
     out = exchange(*tbl)
     ulimbs, cnt, _nu, overflow = out[:M], out[M], out[M + 1], out[M + 2]
-    total_valid = int(_fetch_np(dev_valid).sum())
+    total_valid = dev_valid
     if checked:
-        total_counted = int(_fetch_np(dev_cnt).sum())
+        total_counted = dev_cnt
         if total_valid != total_counted:
             raise RuntimeError(
                 "checked mode: count conservation violated in the "
@@ -945,32 +973,11 @@ def _streamed_sixframe_count(
         if config.use_pallas is None
         else config.use_pallas
     )
-    if config.fused_fe and not use_pallas:
-        raise ValueError(
-            "fused_fe=True requires the pallas path (use_pallas) — the "
-            "fused front-end is a Mosaic kernel"
-        )
-    fused = (
-        (config.fused_fe if config.fused_fe is not None else True)
-        and use_pallas
-        and K <= 7
-    )
+    fused = _resolve_fused(config, use_pallas) and K <= 7
 
     if fused:
-        # fused-FE geometry: device rows are padded to a power-of-two
-        # byte length row4 (multiple of 4*_V_SIX); the kernel emits
-        # 2*row4 windows per device, which fits the sort's power of two
-        # exactly.  The 24-byte tail margin keeps every owned window's
-        # roll sources inside the padded stream (anchors end 3K before
-        # the body edge; rolled reads reach at most 24 bytes further).
-        unit = 4 * _V_SIX
-        lo_need = 2 * H + 24 + 3
-        # row4 >= unit = 16384 > lo_need (<= 69 at K <= 7), so B >= 3
-        row4 = max(unit, _next_pow2(min(config.chunk_size, shard + lo_need)))
-        B = row4 - 2 * H - 24
-        B -= B % 3
+        row4, B, row_len = _fused_geometry(config.chunk_size, shard, H)
         n_chunks = -(-shard // B)
-        row_len = B + 2 * H
     else:
         # chunk body length: multiple of 3, covers the slab in equal rows
         B = min(config.chunk_size - config.chunk_size % 3, shard)
@@ -1006,38 +1013,33 @@ def _streamed_sixframe_count(
         lambda a, b: merge(*a, *b), lambda out: _slice_nu(out[:3], out[3])
     )
 
-    dev_valid = dev_cnt = None
+    dev_valid = dev_cnt = 0
 
     def _drain(out):
+        # host-int tallies from the async-prefetched scalars (no device
+        # int32 overflow past ~2^31 windows, no extra round trip)
         nonlocal dev_valid, dev_cnt
         uh, ul, cnt, nu, n_valid = out[:5]
-        dev_valid = n_valid if dev_valid is None else dev_valid + n_valid
+        dev_valid += int(_fetch_np(n_valid).sum())
         if checked:
-            n_cnt = out[5]
-            dev_cnt = n_cnt if dev_cnt is None else dev_cnt + n_cnt
+            dev_cnt += int(_fetch_np(out[5]).sum())
         uh, ul, cnt = compact(uh, ul, cnt)
         stack.push(_slice_nu((uh, ul, cnt), nu))
 
     from ..utils.streamq import DrainQueue
 
-    # nu is index 3 of the step output (uh, ul, cnt, nu, ...)
-    queue = DrainQueue(_drain, nu_index=3)
+    # prefetch the capacity scalar (index 3) + the tally scalars
+    queue = DrainQueue(_drain, nu_index=(3, 4, 5) if checked else (3, 4))
     for c in range(n_chunks):
         rows = shards[:, c * B : c * B + row_len]
         # body bytes actually inside the slab body (the rest of the row's
         # body region is right-halo data owned by the next chunk/device)
         b_true = min(B, shard - c * B)
         if fused:
-            # uniform power-of-two row; 0x00 pad flags as invalid and the
-            # in-kernel ownership bounds clip the body at b_true
-            rows_p = np.zeros((n_dev, row4), np.uint8)
-            rows_p[:, : rows.shape[1]] = rows
-            bounds = np.zeros(128, np.int32)
-            bounds[:4] = (H, H + b_true, 1, b_true + 1)
-            out = count(
-                _put_sharded(rows_p.view("<u4"), sharding), bounds
+            view, bounds = _fused_chunk_args(
+                shards, c, B, row_len, row4, H, b_true
             )
-            queue.push(out)
+            queue.push(count(_put_sharded(view, sharding), bounds))
             continue
         if rows.shape[1] < row_len:
             # tail chunk: pad the row to the uniform dispatch shape with
@@ -1061,9 +1063,9 @@ def _streamed_sixframe_count(
     cap = max(int(np.ceil(C * config.bucket_factor / n_dev)), 1)
     exchange = _exchange_step(mesh, K, cap)
     uh, ul, cnt, nu, overflow = exchange(*tbl)
-    total_valid = int(_fetch_np(dev_valid).sum())
+    total_valid = dev_valid
     if checked:
-        total_counted = int(_fetch_np(dev_cnt).sum())
+        total_counted = dev_cnt
         if total_valid != total_counted:
             raise RuntimeError(
                 "checked mode: count conservation violated in the "

@@ -259,12 +259,13 @@ def canonical_count_bytes(
     # memory over c chunks; merge order does not affect the table)
 
     acc = None  # single-dispatch fast path result
-    # error counters accumulate ON DEVICE and are fetched once after the
-    # loop: a per-chunk int() fetch costs a full host round trip (~26 ms
-    # through a remote transport), serializing the stream; semantics are
-    # unchanged since errors were only ever raised after the full pass
-    dev_invalid = jnp.zeros((), jnp.int32)
-    dev_ambig = jnp.zeros((), jnp.int32)
+    # tallies accumulate as HOST ints at drain time (the DrainQueue has
+    # async-copied the scalars by then, so the reads cost no round trip,
+    # and Python ints cannot overflow the way a device int32 accumulator
+    # would past ~2^31 windows); the single-dispatch path keeps the raw
+    # device scalars instead so its hot path stays fully asynchronous
+    dev_invalid = 0
+    dev_ambig = 0
     total_pad = 0
     use_pallas = (
         _on_tpu() if config.use_pallas is None else config.use_pallas
@@ -273,8 +274,8 @@ def canonical_count_bytes(
 
     dbg = checked_mode()
     track = dbg or metrics is not None
-    dev_valid = jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32)
-    dev_counted = jnp.zeros_like(dev_valid)
+    dev_valid = 0
+    dev_counted = 0
 
     def _merge(a, b):
         return merge_compact_tables(a[0], a[1], a[2], b[0], b[1], b[2])
@@ -296,20 +297,23 @@ def canonical_count_bytes(
         nonlocal dev_valid, dev_counted, dev_invalid, dev_ambig
         if track:
             uh, ul, cnt, nu, n_inv, n_amb, n_val, n_cnt = out
-            dev_valid = dev_valid + n_val.astype(dev_valid.dtype)
-            dev_counted = dev_counted + n_cnt.astype(dev_counted.dtype)
+            dev_valid += int(np.asarray(n_val))
+            dev_counted += int(np.asarray(n_cnt))
         else:
             uh, ul, cnt, nu, n_inv, n_amb = out
-        dev_invalid = dev_invalid + n_inv.astype(jnp.int32)
-        dev_ambig = dev_ambig + n_amb.astype(jnp.int32)
+        dev_invalid += int(np.asarray(n_inv))
+        dev_ambig += int(np.asarray(n_amb))
         uh, ul, cnt = compact_counts(uh, ul, cnt)
         bcap = _next_pow2(max(int(nu), 1))  # scalar fetch per chunk
         stack.push((uh[:bcap], ul[:bcap], cnt[:bcap]))
 
     from ..utils.streamq import DrainQueue
 
-    # nu is index 3 of every chunk-count output (checked or not)
-    queue = DrainQueue(_drain, nu_index=3)
+    # prefetch the capacity scalar (index 3) and every tally scalar the
+    # drain reads
+    queue = DrainQueue(
+        _drain, nu_index=(3, 4, 5, 6, 7) if track else (3, 4, 5)
+    )
     for start in starts:
         chunk = arr[start : start + chunk_size]
         pad = 0
@@ -337,12 +341,10 @@ def canonical_count_bytes(
             # keeps the one-chunk hot path fully asynchronous
             if track:
                 uh, ul, cnt, nu, n_inv, n_amb, n_val, n_cnt = out
-                dev_valid = dev_valid + n_val.astype(dev_valid.dtype)
-                dev_counted = dev_counted + n_cnt.astype(dev_counted.dtype)
+                dev_valid, dev_counted = n_val, n_cnt
             else:
                 uh, ul, cnt, nu, n_inv, n_amb = out
-            dev_invalid = dev_invalid + n_inv.astype(jnp.int32)
-            dev_ambig = dev_ambig + n_amb.astype(jnp.int32)
+            dev_invalid, dev_ambig = n_inv, n_amb
             acc = (uh, ul, cnt)
             break
         queue.push(out)
@@ -352,16 +354,17 @@ def canonical_count_bytes(
     if acc is None and len(stack):
         acc = stack.fold()
 
-    total_invalid = int(dev_invalid)
-    total_ambig = int(dev_ambig) - total_pad
+    total_invalid = int(np.asarray(dev_invalid))
+    total_ambig = int(np.asarray(dev_ambig)) - total_pad
     if total_invalid:
         raise EncodeError(DNAAlphabet2(), "<batch input>")
     if total_ambig and not config.skip_ambiguous:
         raise EncodeError(DNAAlphabet2(), "<ambiguous base>")
-    if dbg and int(dev_valid) != int(dev_counted):
+    if dbg and int(np.asarray(dev_valid)) != int(np.asarray(dev_counted)):
         raise RuntimeError(
-            f"checked mode: count conservation violated — {int(dev_valid)} "
-            f"valid windows but {int(dev_counted)} counted (sentinel "
+            "checked mode: count conservation violated — "
+            f"{int(np.asarray(dev_valid))} valid windows but "
+            f"{int(np.asarray(dev_counted))} counted (sentinel "
             "collision or kernel bug)"
         )
 
@@ -371,7 +374,7 @@ def canonical_count_bytes(
     kmers, counts = kmers[keep], cnt[keep].astype(np.int64)
     if metrics is not None:
         n_windows = max(L - K + 1, 0)
-        n_valid = int(dev_valid)
+        n_valid = int(np.asarray(dev_valid))
         metrics.end_batch(
             bases_in=L,
             windows_out=n_valid,
@@ -470,22 +473,27 @@ def _canonical_count_multiword(data, config: CountConfig):
     stack = LevelStack(_merge, _slice)
 
     acc = None  # (limbs tuple, cnt) compact device arrays, pow2 capacity
-    dev_invalid = jnp.zeros((), jnp.int32)
-    dev_ambig = jnp.zeros((), jnp.int32)
+    # host-int tallies (see the K <= 31 driver: drain-time reads of
+    # async-copied scalars; no device-int32 overflow past 2^31)
+    dev_invalid = 0
+    dev_ambig = 0
     total_pad = 0
 
     def _drain(out):
-        # deferred capacity fetch: by drain time the async nu copy has
+        # deferred scalar fetches: by drain time the async copies have
         # landed, so the per-chunk host round trip is off the hot path
         # (the K <= 31 streamed path's DrainQueue protocol)
-        ulimbs, counts, nu = out
+        nonlocal dev_invalid, dev_ambig
+        ulimbs, counts, nu, n_inv, n_amb = out
+        dev_invalid += int(np.asarray(n_inv))
+        dev_ambig += int(np.asarray(n_amb))
         climbs, ccnt = compact_counts_mw(ulimbs, counts)
         bcap = _next_pow2(max(int(nu), 1))
         stack.push((tuple(x[:bcap] for x in climbs), ccnt[:bcap]))
 
     from ..utils.streamq import DrainQueue
 
-    queue = DrainQueue(_drain, nu_index=2)
+    queue = DrainQueue(_drain, nu_index=(2, 3, 4))
     for start in starts:
         chunk = arr[start : start + chunk_size]
         pad = 0
@@ -500,20 +508,19 @@ def _canonical_count_multiword(data, config: CountConfig):
             )
         else:
             ulimbs, counts, nu, n_inv, n_amb = chunk_fn(jnp.asarray(chunk), K)
-        dev_invalid = dev_invalid + n_inv.astype(jnp.int32)
-        dev_ambig = dev_ambig + n_amb.astype(jnp.int32)
         total_pad += pad
         if len(starts) == 1:
+            dev_invalid, dev_ambig = n_inv, n_amb
             acc = (ulimbs, counts)
             break
-        queue.push((ulimbs, counts, nu))
+        queue.push((ulimbs, counts, nu, n_inv, n_amb))
     queue.flush()
 
     if acc is None and len(stack):
         acc = stack.fold()
 
-    total_invalid = int(dev_invalid)
-    total_ambig = int(dev_ambig) - total_pad
+    total_invalid = int(np.asarray(dev_invalid))
+    total_ambig = int(np.asarray(dev_ambig)) - total_pad
     if total_invalid:
         raise EncodeError(DNAAlphabet2(), "<batch input>")
     if total_ambig and not config.skip_ambiguous:

@@ -338,10 +338,13 @@ class TestSixFrame:
             int(k): v for k, v in oracle.items()
         }
 
-    @pytest.mark.parametrize("n_dev,K", [(1, 9), (3, 15)])
+    @pytest.mark.parametrize("n_dev,K", [(1, 8), (1, 9), (3, 15)])
     def test_fused_fe_multilimb_parity(self, n_dev, K):
         # multi-limb fused Mosaic FE (interpret): bit-exact vs the jnp
-        # pipeline and the python oracle for K > 7 amino acids
+        # pipeline and the python oracle for K > 7 amino acids.  K=8 is
+        # the register-filling width (8K == 32M): the explicit validity
+        # stream must drive sort_count_mw's flag-operand branch, where a
+        # sentinel value could collide with a real all-ones window
         from kmers_tpu.parallel.sixframe import (
             SixFrameCountConfig,
             sharded_sixframe_aa_count,

@@ -94,7 +94,9 @@ dt = timeit(fstep, args_f)
 emit(config="fused_mw_step_k9", chunks=n_chunks,
      mbases_s=round(Bf * n_chunks / dt / 1e6, 1))
 
-Bj = (1 << 20) - 2 * H - 2  # jnp geometry: pow2 window clamp form
+# approximate jnp-step geometry (NOT the pipeline's exact shaved B —
+# off by 30 bases ≈ 0.003%; both forms pad to the same 2^21 sort)
+Bj = (1 << 20) - 2 * H - 2
 Bj -= Bj % 3
 rowj = Bj + 2 * H
 jstep = _sixframe_local_step_mw(mesh, K, tbl_bytes, False)
